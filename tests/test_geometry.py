@@ -1,0 +1,97 @@
+"""Geometry kernels: WKT/WKB roundtrips, PIP, katana bisection.
+
+Katana WKT shapes replicate the reference's katana smoke inputs
+(`/root/reference/tests/classes/katana.py:7-21` — simple polygon, polygon
+with hole, multipolygon)."""
+import numpy as np
+
+from vector2dggs_spark.geometry import kernels as gk
+from vector2dggs_spark.geometry import wkt as gw
+
+POLY = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+POLY_HOLE = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+MPOLY = "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((6 6, 9 6, 9 9, 6 9, 6 6)))"
+LINE = "LINESTRING (0 0, 5 5, 10 0)"
+PT = "POINT (3.5 -2.25)"
+GC = "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1), POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)))"
+
+
+def test_wkt_parse_roundtrip():
+    for s in (POLY, POLY_HOLE, MPOLY, LINE, PT, GC):
+        g = gw.parse_wkt(s)
+        assert g is not None
+        g2 = gw.parse_wkt(gw.to_wkt(g))
+        assert g2[0] == g[0]
+
+
+def test_wkt_empty_and_garbage():
+    assert gw.parse_wkt("POLYGON EMPTY") is None
+    assert gw.parse_wkt("") is None
+    assert gw.parse_wkt(None) is None
+    assert gw.parse_wkt("not a geometry") is None
+
+
+def test_wkb_roundtrip():
+    for s in (POLY, POLY_HOLE, MPOLY, LINE, PT, GC):
+        g = gw.parse_wkt(s)
+        g2 = gw.from_wkb(gw.to_wkb(g))
+        assert g2[0] == g[0]
+        assert gw.to_wkt(g2) == gw.to_wkt(g)
+
+
+def test_pip_square_and_hole():
+    rings = gw.parse_wkt(POLY_HOLE)[1]
+    px = np.array([5.0, 5.0, -1.0, 4.5, 9.9])
+    py = np.array([2.0, 5.0, 5.0, 4.5, 9.9])
+    got = gk.points_in_polygon(px, py, rings)
+    assert got.tolist() == [True, False, False, False, True]
+
+
+def test_explode():
+    singles = gk.explode(gw.parse_wkt(GC))
+    assert [t for t, _ in singles] == ["Point", "LineString", "Polygon"]
+    singles = gk.explode(gw.parse_wkt(MPOLY))
+    assert [t for t, _ in singles] == ["Polygon", "Polygon"]
+    assert gk.explode(None) == []
+
+
+def test_katana_area_partition():
+    g = gw.parse_wkt(POLY)
+    pieces = gk.katana_geom(g, threshold=30.0)
+    assert len(pieces) >= 4
+    # pieces tile the original: PIP membership preserved for a probe grid
+    xs, ys = np.meshgrid(np.linspace(0.05, 9.95, 40), np.linspace(0.05, 9.95, 40))
+    xs, ys = xs.ravel(), ys.ravel()
+    count = np.zeros(len(xs), dtype=int)
+    for _, rings in pieces:
+        minx, miny, maxx, maxy = gk.bbox(rings[0])
+        assert (maxx - minx) * (maxy - miny) <= 30.0 + 1e-9
+        count += gk.points_in_polygon(xs, ys, rings).astype(int)
+    assert np.all(count == 1)  # each interior point in exactly one piece
+
+
+def test_katana_hole_preserved():
+    g = gw.parse_wkt(POLY_HOLE)
+    pieces = gk.katana_geom(g, threshold=30.0)
+    xs = np.array([5.0, 2.0, 8.0, 5.0])
+    ys = np.array([5.0, 2.0, 8.0, 4.5])
+    count = np.zeros(4, dtype=int)
+    for _, rings in pieces:
+        count += gk.points_in_polygon(xs, ys, rings).astype(int)
+    assert count.tolist() == [0, 1, 1, 0]  # hole interior stays outside
+
+
+def test_katana_noop_below_threshold():
+    g = gw.parse_wkt(POLY)
+    assert gk.katana_geom(g, threshold=1000.0) == [g]
+    assert gk.katana_geom(g, threshold=0) == [g]
+
+
+def test_antimeridian_split():
+    g = gw.parse_wkt("POLYGON ((179.5 10, -179.5 10, -179.5 11, 179.5 11, 179.5 10))")
+    assert gk.crosses_antimeridian(g)
+    parts = gk.split_antimeridian(g)
+    assert len(parts) == 2
+    for _, rings in parts:
+        minx, _, maxx, _ = gk.bbox(rings[0])
+        assert maxx - minx <= 0.51
