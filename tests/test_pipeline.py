@@ -1,0 +1,162 @@
+"""End-to-end pipeline tests: documents -> cell table -> Hive output.
+
+Mirrors the reference's CLI smoke + structural output validation layers
+(`/root/reference/tests/classes/h3.py`, `output_validation.py:11-86`)
+on the synthetic interleaved documents table (FIXTURES.md §1)."""
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector2dggs_spark import get_backend, index, write_partitioned
+from vector2dggs_spark.geometry import wkt as gw
+from vector2dggs_spark.sources.documents import (
+    documents_df,
+    extract_geometries,
+    span_signature,
+)
+
+N_DOCS = 300
+RES = 6  # geohash precision 6 (reference geohash tests use res 6)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = documents_df(spark, N_DOCS, seed=42).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def result(spark, docs):
+    r = index(spark, docs, dggs="geohash", resolution=RES, cut_threshold_deg2=0.01)
+    r.cells.cache().count()
+    return r
+
+
+def test_output_shape_and_naming(result):
+    cols = result.cells.columns
+    assert cols == ["geohash_06", "doc_id", "geohash_01"]  # F1 naming, default parent 6-6=0->min 1
+    assert result.parent_res == 1
+
+
+def test_rows_nonempty_and_cells_valid(result):
+    rows = result.cells.limit(5000).collect()
+    assert len(rows) > 500
+    for r in rows[:200]:
+        assert len(r["geohash_06"]) == 6
+        assert r["geohash_01"] == r["geohash_06"][:1]
+
+
+def test_degenerates_dropped(result, docs):
+    # docs with EMPTY/null/unsupported geometry spans contribute no rows
+    # (P3/P4) but the null-text doc with a valid POINT span still indexes
+    present = {r["doc_id"] for r in result.cells.select("doc_id").distinct().collect()}
+    empty_docs = {f"doc{i:08d}" for i in (4, 5, 6)}  # EMPTY, no-geom, CIRCULARSTRING
+    assert not (empty_docs & present)
+    assert "doc00000007" in present  # POINT + null-text geometry span doc
+
+
+def test_cells_match_direct_kernel(spark, result, docs):
+    """Pipeline output == direct numpy-kernel computation per document."""
+    backend = get_backend("geohash")
+    got = {}
+    for r in result.cells.collect():
+        got.setdefault(r["doc_id"], []).append(r["geohash_06"])
+    geoms = {r["doc_id"]: r["wkt"] for r in extract_geometries(docs).collect() if r["wkt"]}
+    from vector2dggs_spark.geometry import kernels as gk
+
+    checked = 0
+    for doc_id, wkt in geoms.items():
+        geom = gw.parse_wkt(wkt)
+        if geom is None:
+            continue
+        expected: list[str] = []
+        for single in gk.explode(geom):
+            gt, parts = single
+            if gt == "Point":
+                expected.extend(backend.point_to_cell([parts[1]], [parts[0]], RES))
+            elif gt == "Polygon":
+                # pipeline bisects with threshold 0.01; union of pieces ==
+                # whole-polygon fill (center-inside is pointwise)
+                expected.extend(backend.polyfill(parts, RES))
+            else:
+                expected.extend(backend.linetrace(parts, RES))
+        if geom[0] == "LineString" or geom[0] == "MultiLineString":
+            expected = sorted(set(expected))
+            assert sorted(set(got.get(doc_id, []))) == expected, doc_id
+        else:
+            assert sorted(got.get(doc_id, [])) == sorted(expected), doc_id
+        checked += 1
+    assert checked > 50
+
+
+def test_span_sequence_invariant(spark, docs):
+    """(kind, text, media_ref, order) survives keep_spans indexing."""
+    r = index(spark, docs, dggs="geohash", resolution=5, keep_spans=True)
+    sig_in = {x["doc_id"]: x["span_sig"] for x in span_signature(docs).collect()}
+    out_docs = r.cells.select("doc_id", "spans").dropDuplicates(["doc_id"])
+    sig_out = {x["doc_id"]: x["span_sig"] for x in span_signature(out_docs).collect()}
+    assert sig_out  # non-empty
+    for doc_id, s in sig_out.items():
+        assert sig_in[doc_id] == s
+
+
+def test_hive_partitioned_write(spark, result, tmp_path):
+    out = str(tmp_path / "out")
+    write_partitioned(result, out)
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("geohash_01="))
+    assert dirs, "expected Hive dirs named geohash_01=<token>"
+    # exactly one parquet data file per parent dir (S8 semantics)
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+    # read back: partition values are strings (reference common.py:300-305)
+    back = spark.read.parquet(out)
+    assert dict(back.dtypes)["geohash_01"] == "string"
+    assert back.count() == result.cells.count()
+
+
+def test_explicit_parent_res(spark, docs, tmp_path):
+    r = index(spark, docs, dggs="geohash", resolution=RES, parent_res=3)
+    assert r.parent_col == "geohash_03"
+    out = str(tmp_path / "pr3")
+    write_partitioned(r, out)
+    assert any(d.startswith("geohash_03=") for d in os.listdir(out))
+
+
+def test_resolution_validation(spark, docs):
+    with pytest.raises(ValueError, match="parent resolution"):
+        index(spark, docs, dggs="geohash", resolution=5, parent_res=5)
+    with pytest.raises(ValueError, match="out of range"):
+        index(spark, docs, dggs="geohash", resolution=99)
+    with pytest.raises(ValueError, match="unknown DGGS"):
+        index(spark, docs, dggs="nope", resolution=5)
+
+
+def test_rhp_end_to_end(spark, docs):
+    r = index(spark, docs, dggs="rhp", resolution=5, parent_res=2)
+    rows = r.cells.limit(2000).collect()
+    assert rows
+    for row in rows[:100]:
+        assert len(row["rhp_05"]) == 6 and row["rhp_05"][0] in "NOPQRS"
+        assert row["rhp_02"] == row["rhp_05"][:3]
+
+
+def test_antimeridian_gated_split(spark):
+    docs = documents_df(spark, 20, seed=1, include_antimeridian=True)
+    r = index(spark, docs, dggs="geohash", resolution=4, cut_threshold_deg2=0)
+    am_cells = [
+        x["geohash_04"]
+        for x in r.cells.where(F.col("doc_id") == "doc00000004").collect()
+    ]
+    # antimeridian doc is special index 4 when include_antimeridian=True
+    assert am_cells
+    lons = []
+    from vector2dggs_spark.dggs import geohash as gh
+
+    _, lon = gh.decode_center(np.array(am_cells), 4)
+    assert (lon > 170).any() and (lon < -170).any()
+    # and no bogus cells spanning the globe interior
+    assert np.all((np.abs(lon) > 170))

@@ -1,0 +1,184 @@
+"""DGGS backend registry — the engine analog of the reference's
+``indexerfactory.py:5-31`` (plain strategy objects, no lazy imports needed
+since all cell math is self-contained numpy).
+
+Uniform surface per backend (SURVEY.md §2.4/C19):
+
+* ``point_to_cell(lat, lon, res) -> np.ndarray[str]`` — vectorized
+* ``polyfill(rings, res)`` / ``linetrace(coords, res)`` — per geometry
+* ``parent(cells, parent_res)`` — vectorized
+* ``parent_expr(col, res, parent_res)`` — **native Spark Column** where the
+  cell-ID scheme allows (prefix substring for geohash/rHP, bit math for
+  H3) so the secondary index never leaves the JVM
+* ``compact`` / ``children_at_res`` / ``designated_child`` /
+  ``get_resolution`` — compaction kit (reference vectorindexer.py:124-196)
+* ``grid_disk(cells, res, k)`` — kNN ring expansion primitive (J3)
+* ``cell_center(cells, res)`` — for GeoParquet point output & kNN bounds
+"""
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from vector2dggs_spark.dggs import geohash as _gh
+from vector2dggs_spark.dggs import rhp as _rhp
+
+DEFAULT_PARENT_OFFSET = 6  # reference constants.py:48
+
+
+class Backend:
+    name: str
+    min_res: int
+    max_res: int
+    geodesic: bool
+
+    def col_name(self, res: int) -> str:
+        """Zero-padded column naming (reference common.py:400, F1)."""
+        return f"{self.name}_{res:02d}"
+
+    def default_parent_res(self, res: int) -> int:
+        """reference constants.py:37-47."""
+        return max(self.min_res, res - DEFAULT_PARENT_OFFSET)
+
+    def default_cut_threshold_deg2(self, parent_res: int) -> float:
+        """Katana threshold in deg² ≈ one parent cell's bbox (the role of
+        the reference's area-table-derived default, common.py:565-577)."""
+        w = self.cell_width_deg(parent_res)
+        return w * w
+
+
+class GeohashBackend(Backend):
+    name = "geohash"
+    min_res = _gh.MIN_RES
+    max_res = _gh.MAX_RES
+    geodesic = _gh.GEODESIC
+
+    def point_to_cell(self, lat, lon, res):
+        return _gh.encode(lat, lon, res)
+
+    def polyfill(self, rings, res):
+        return _gh.polyfill(rings, res)
+
+    def linetrace(self, coords, res):
+        return _gh.linetrace(coords, res)
+
+    def parent(self, cells, parent_res):
+        return _gh.parent(cells, parent_res)
+
+    def parent_expr(self, col: Column, res: int, parent_res: int) -> Column:
+        return F.substring(col, 1, parent_res)
+
+    def compact(self, cells):
+        return _gh.compact(set(cells))
+
+    def get_resolution(self, cell: str) -> int:
+        return len(cell)
+
+    def children_at_res(self, cell: str, target_res: int):
+        if target_res <= len(cell):
+            return [cell]
+        return _gh.children(cell, target_res)
+
+    def designated_child(self, cell: str, res: int) -> str:
+        """reference geohashvectorindexer.py:166-180 (pad with '0')."""
+        return cell + "0" * (res - len(cell))
+
+    def grid_disk(self, cells, res, k):
+        return _gh.grid_disk(cells, res, k)
+
+    def cell_center(self, cells, res):
+        return _gh.decode_center(cells, res)
+
+    def cell_width_deg(self, res: int) -> float:
+        dlat, dlon = _gh.cell_dims(res)
+        return min(dlat, dlon)
+
+    def cell_bbox(self, cells, res):
+        return _gh.decode_bbox(cells, res)
+
+
+class RhpBackend(Backend):
+    name = "rhp"
+    min_res = _rhp.MIN_RES
+    max_res = _rhp.MAX_RES
+    geodesic = _rhp.GEODESIC
+
+    def point_to_cell(self, lat, lon, res):
+        return _rhp.point_to_cell(lat, lon, res)
+
+    def polyfill(self, rings, res):
+        return _rhp.polyfill(rings, res)
+
+    def linetrace(self, coords, res):
+        return _rhp.linetrace(coords, res)
+
+    def parent(self, cells, parent_res):
+        return _rhp.parent(cells, parent_res)
+
+    def parent_expr(self, col: Column, res: int, parent_res: int) -> Column:
+        # rHP cell strings are face letter + digits: parent = prefix of
+        # length parent_res + 1 (reference rhpvectorindexer.py:52-57)
+        return F.substring(col, 1, parent_res + 1)
+
+    def compact(self, cells):
+        return _rhp.compact(set(cells))
+
+    def get_resolution(self, cell: str) -> int:
+        return len(cell) - 1
+
+    def children_at_res(self, cell: str, target_res: int):
+        if target_res <= len(cell) - 1:
+            return [cell]
+        return _rhp.children(cell, target_res)
+
+    def designated_child(self, cell: str, res: int) -> str:
+        """rhealpixdggs rhp_to_center_child: append center digit '4'."""
+        return cell + "4" * (res - (len(cell) - 1))
+
+    def grid_disk(self, cells, res, k):
+        return _rhp.grid_disk(cells, res, k)
+
+    def cell_center(self, cells, res):
+        return _rhp.cell_center(cells)
+
+    def cell_width_deg(self, res: int) -> float:
+        return _rhp.cell_width_deg(res)
+
+    def cell_bbox(self, cells, res):
+        # approximate planar-square bounds via center ± half width
+        lat, lon = _rhp.cell_center(cells)
+        h = self.cell_width_deg(res) / 2.0
+        return lat - h, lon - h, lat + h, lon + h
+
+
+_REGISTRY: dict[str, Backend] = {}
+
+
+def register(backend: Backend) -> None:
+    _REGISTRY[backend.name] = backend
+
+
+def get_backend(name: str) -> Backend:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown DGGS {name!r}; available: {sorted(_REGISTRY)}"
+        ) from None
+
+
+def available() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+register(GeohashBackend())
+register(RhpBackend())
+
+# H3 registers itself on import if its derived tables validate
+try:
+    from vector2dggs_spark.dggs.h3backend import H3Backend
+
+    register(H3Backend())
+except ImportError:
+    pass

@@ -1,0 +1,103 @@
+"""Geometry preparation stage — the reference's "rewrite" pipeline
+(``common.py:634-742``: bisection, antimeridian fix, double explode,
+drop conditions) as ONE Arrow-vectorized ``mapInPandas`` stage.
+
+Input : (doc_id string, span_idx int, wkt string)
+Output: (doc_id string, part_uid string, geom_type string, wkb binary,
+         minx, miny, maxx, maxy double, sort_key string)
+
+* ``part_uid`` identifies one single-part piece (doc#span#part#piece) —
+  the stable feature-part key that replaces pandas index bookkeeping.
+* ``sort_key`` is a space-filling-curve key (geohash of the bbox
+  center) used for the optional spatial repartition (O1,
+  reference common.py:822-830).
+* Null/empty/unparseable and unsupported-type geometries are dropped
+  (P3/P4, common.py:728-742); the drop count is observable via the
+  engine metrics (A6) because the stage emits rows only for survivors.
+"""
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from vector2dggs_spark.dggs import Backend, geohash as _gh
+from vector2dggs_spark.geometry import kernels as gk
+from vector2dggs_spark.geometry import wkt as gw
+
+PREPARED_SCHEMA = (
+    "doc_id string, part_uid string, geom_type string, wkb binary, "
+    "minx double, miny double, maxx double, maxy double, sort_key string"
+)
+
+SORT_KEY_PRECISION = 8
+
+
+def prepare(
+    geoms: DataFrame,
+    backend: Backend,
+    cut_threshold_deg2: float | None,
+) -> DataFrame:
+    """Parse + clean + explode + (antimeridian) + bisect, batch at a time."""
+    geodesic = backend.geodesic
+    thr = cut_threshold_deg2
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = _prepare_batch(pdf, geodesic, thr)
+            if out is not None:
+                yield out
+
+    return geoms.mapInPandas(run, schema=PREPARED_SCHEMA)
+
+
+def _prepare_batch(pdf: pd.DataFrame, geodesic: bool, thr: float | None):
+    doc_ids: list[str] = []
+    uids: list[str] = []
+    gtypes: list[str] = []
+    wkbs: list[bytes] = []
+    boxes: list[tuple[float, float, float, float]] = []
+    for doc_id, span_idx, wkt_text in zip(pdf["doc_id"], pdf["span_idx"], pdf["wkt"]):
+        geom = gw.parse_wkt(wkt_text)  # None for null/EMPTY/garbage (P3)
+        if geom is None:
+            continue
+        # antimeridian gate: planar backends need the split
+        # (reference common.py:712-722; vectorindexer.py:14-19)
+        if not geodesic and gk.crosses_antimeridian(geom):
+            fixed = []
+            for single in gk.explode(geom):
+                fixed.extend(gk.split_antimeridian(single))
+            singles = fixed
+        else:
+            singles = gk.explode(geom)  # double explode + type filter (G6/P4)
+        for part_idx, single in enumerate(singles):
+            pieces = (
+                gk.katana_geom(single, thr) if thr and thr > 0 else [single]
+            )  # G3 bisection
+            for piece_idx, piece in enumerate(pieces):
+                doc_ids.append(doc_id)
+                uids.append(f"{doc_id}#{span_idx}#{part_idx}#{piece_idx}")
+                gtypes.append(piece[0])
+                wkbs.append(gw.to_wkb(piece))
+                boxes.append(gk.geom_bbox(piece))
+    if not doc_ids:
+        return None
+    bb = np.array(boxes, dtype=np.float64).reshape(-1, 4)
+    cx = np.clip((bb[:, 0] + bb[:, 2]) / 2.0, -180.0, 179.999999)
+    cy = np.clip((bb[:, 1] + bb[:, 3]) / 2.0, -90.0, 89.999999)
+    sort_key = _gh.encode(cy, cx, SORT_KEY_PRECISION)
+    return pd.DataFrame(
+        {
+            "doc_id": doc_ids,
+            "part_uid": uids,
+            "geom_type": gtypes,
+            "wkb": wkbs,
+            "minx": bb[:, 0],
+            "miny": bb[:, 1],
+            "maxx": bb[:, 2],
+            "maxy": bb[:, 3],
+            "sort_key": sort_key,
+        }
+    )

@@ -1,0 +1,151 @@
+"""The end-to-end indexing pipeline — Spark restatement of the
+reference's ``common.index`` (``/root/reference/vector2dggs/common.py:780-868``).
+
+One linear DataFrame plan (SURVEY.md §3.1):
+
+    documents ── extract geometry spans (native posexplode/filter)
+      ─ prepare  (one mapInPandas: parse → explode → antimeridian → katana)
+      ─ spatial repartition (SFC sort key — O1/O2)
+      ─ index    (one mapInPandas: polyfill/linetrace/point → exploded cells)
+      ─ line dedup (dropDuplicates — O5)
+      ─ parent column (NATIVE expr: substring / bit math — C4/C8/C16)
+      ─ [compaction: groupBy(doc).applyInPandas — A2]
+      ─ [keep_spans: re-join spans by doc_id — keep-attributes analog]
+      ─ repartition(parent) → write.partitionBy(parent) (S6/O3, one file
+        per parent dir replaces the reference's merge pass S8)
+
+Every reference thread/process/disk boundary is a Spark shuffle or a
+narrow Arrow UDF stage; the driver never touches row data.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector2dggs_spark.dggs import Backend, get_backend
+from vector2dggs_spark.operators.compaction import compact_cells_df
+from vector2dggs_spark.operators.polyfill import index_cells
+from vector2dggs_spark.operators.prepare import prepare
+from vector2dggs_spark.sources.documents import extract_geometries
+
+
+@dataclass
+class IndexResult:
+    cells: DataFrame
+    backend: Backend
+    resolution: int
+    parent_res: int
+    cell_col: str
+    parent_col: str
+
+
+def check_resolutions(backend: Backend, resolution: int, parent_res: int) -> None:
+    """reference common.py:62-66."""
+    if not (backend.min_res <= resolution <= backend.max_res):
+        raise ValueError(
+            f"resolution {resolution} out of range "
+            f"[{backend.min_res}, {backend.max_res}] for {backend.name}"
+        )
+    if parent_res >= resolution:
+        raise ValueError(
+            f"parent resolution {parent_res} must be less than resolution {resolution}"
+        )
+
+
+def index(
+    spark: SparkSession,
+    docs: DataFrame,
+    dggs: str = "geohash",
+    resolution: int = 6,
+    parent_res: int | None = None,
+    compact: bool = False,
+    keep_spans: bool = False,
+    cut_threshold_deg2: float | None = None,
+    spatial_sort: str = "geohash",
+    partitions: int | None = None,
+) -> IndexResult:
+    """documents (doc_id, spans) -> cell table
+    (``{dggs}_{res:02}``, doc_id[, spans]) with parent secondary index.
+
+    ``cut_threshold_deg2``: None → backend default (one parent-cell bbox,
+    the reference's area-table default G2); 0 disables bisection (`-c 0`).
+    ``spatial_sort``: 'geohash' | 'none' (O1).
+    """
+    backend = get_backend(dggs)
+    if parent_res is None:
+        parent_res = backend.default_parent_res(resolution)
+    check_resolutions(backend, resolution, parent_res)
+    if cut_threshold_deg2 is None:
+        cut_threshold_deg2 = backend.default_cut_threshold_deg2(parent_res)
+
+    geoms = extract_geometries(docs)
+    prepared = prepare(geoms, backend, cut_threshold_deg2)
+
+    if spatial_sort == "geohash":
+        # range-partition on the SFC key: spatially-coherent batches for
+        # the polyfill stage (reference dask spatial_shuffle, O1)
+        if partitions:
+            prepared = prepared.repartitionByRange(partitions, "sort_key")
+        else:
+            prepared = prepared.repartitionByRange("sort_key")
+    elif partitions:
+        prepared = prepared.repartition(partitions)
+
+    cells = index_cells(prepared, backend, resolution)
+
+    # cross-part line dedup: (cell, feature) keep-first (O5). Poly/point
+    # rows keep duplicates, exactly like the reference (only linestring
+    # sub-results are deduped — h3vectorindexer.py:39).
+    lines = cells.where(F.col("geom_type") == "LineString").dropDuplicates(["doc_id", "cell"])
+    others = cells.where(F.col("geom_type") != "LineString")
+    cells = others.unionByName(lines)
+
+    cell_col = backend.col_name(resolution)
+    parent_col = backend.col_name(parent_res)
+    out = cells.select(
+        F.col("cell").alias(cell_col),
+        "doc_id",
+    ).withColumn(parent_col, backend.parent_expr(F.col(cell_col), resolution, parent_res))
+
+    if compact:
+        out = compact_cells_df(out, backend, resolution, parent_res, cell_col)
+        # recompute parent for relabeled (coarser) cells: a compacted cell
+        # is never coarser than parent_res, so the prefix/bit parent stays
+        # valid — but lengths differ for prefix backends, so re-derive.
+        out = out.withColumn(parent_col, backend.parent_expr(F.col(cell_col), resolution, parent_res))
+
+    if keep_spans:
+        # keep-attributes analog (reference common.py:629-631): every
+        # (cell, doc) row carries the document's full span sequence.
+        out = out.join(docs, "doc_id", "left")
+
+    return IndexResult(out, backend, resolution, parent_res, cell_col, parent_col)
+
+
+def write_partitioned(
+    result: IndexResult,
+    output: str,
+    compression: str = "snappy",
+    overwrite: bool = False,
+    single_file_per_partition: bool = True,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-partitioned Parquet sink (S6 + O3; replaces the reference's
+    per-directory merge pass S8 by construction).
+
+    ``single_file_per_partition=True`` mirrors the reference's merged
+    layout exactly (one file per parent dir).  At 100 TB scale prefer
+    ``False`` + ``max_records_per_file`` so one hot parent cell cannot
+    serialize through a single task (skew note, SURVEY.md §4).
+    """
+    df = result.cells
+    if single_file_per_partition:
+        df = df.repartition(F.col(result.parent_col)).sortWithinPartitions(
+            result.cell_col
+        )
+    writer = df.write.mode("overwrite" if overwrite else "errorifexists")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.option("compression", compression).partitionBy(result.parent_col).parquet(output)
