@@ -1,0 +1,151 @@
+"""Join operators (J1-J4): correctness vs brute-force oracles."""
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from vector2dggs_spark import get_backend, index
+from vector2dggs_spark.operators.compaction import compact_cells_df
+from vector2dggs_spark.operators.joins import (
+    assign_tiles,
+    broadcast_compact_join,
+    cell_join,
+    knn,
+)
+from vector2dggs_spark.sources.documents import documents_df, extract_media, tile_centers
+
+RES = 6
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = documents_df(spark, 250, seed=7).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def result(spark, docs):
+    r = index(spark, docs, dggs="geohash", resolution=RES, parent_res=3)
+    r.cells.cache().count()
+    return r
+
+
+def _split_types(spark, docs, result):
+    geom_kind = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "geometry")
+        .select("doc_id", F.col("s.text").alias("wkt"))
+        .where(F.col("wkt").isNotNull())
+        .withColumn("is_point", F.col("wkt").startswith("POINT"))
+        .withColumn("is_poly", F.col("wkt").startswith("POLY"))
+    )
+    return geom_kind
+
+
+def test_cell_join_point_in_polygon(spark, docs, result):
+    """J1: points joined to polygons on shared cell == PIP at cell modality."""
+    kinds = _split_types(spark, docs, result)
+    pts = result.cells.join(kinds.where("is_point"), "doc_id").select(
+        F.col("doc_id").alias("pt_doc"), F.col(result.cell_col)
+    )
+    polys = result.cells.join(kinds.where("is_poly"), "doc_id").select(
+        F.col("doc_id").alias("poly_doc"), F.col(result.cell_col)
+    )
+    joined = cell_join(pts, polys, result.cell_col).select("pt_doc", "poly_doc").distinct()
+    got = {(r["pt_doc"], r["poly_doc"]) for r in joined.collect()}
+    # oracle: same equi-join in pandas
+    pts_pd = pts.toPandas()
+    polys_pd = polys.toPandas()
+    exp = set(
+        pts_pd.merge(polys_pd, on=result.cell_col)[["pt_doc", "poly_doc"]]
+        .drop_duplicates()
+        .itertuples(index=False, name=None)
+    )
+    assert got == exp and got
+
+
+def test_cell_join_salted_matches_plain(spark, result):
+    a = result.cells.select(F.col("doc_id").alias("a_doc"), result.cell_col)
+    b = result.cells.select(F.col("doc_id").alias("b_doc"), result.cell_col)
+    plain = cell_join(a, b, result.cell_col).groupBy().count().collect()[0][0]
+    salted = cell_join(a, b, result.cell_col, salt=4).groupBy().count().collect()[0][0]
+    assert plain == salted
+
+
+def test_broadcast_compact_join_membership(spark, docs, result):
+    """J2: point matches compacted polygon iff it matched the uncompacted
+    cell set (compaction preserves coverage at >= parent_res)."""
+    backend = get_backend("geohash")
+    kinds = _split_types(spark, docs, result)
+    pts = result.cells.join(kinds.where("is_point"), "doc_id").select(
+        "doc_id", result.cell_col
+    )
+    polys_raw = result.cells.join(kinds.where("is_poly"), "doc_id").select(
+        F.col("doc_id").alias("poly_id"), F.col(result.cell_col)
+    )
+    compacted = compact_cells_df(
+        polys_raw, backend, RES, result.parent_res, result.cell_col, id_col="poly_id"
+    )
+    got = broadcast_compact_join(
+        pts, compacted, backend, RES, result.parent_res, result.cell_col
+    )
+    got_pairs = {(r["doc_id"], r["poly_id"]) for r in got.collect()}
+    # oracle: raw equi-join (uncompacted)
+    exp = {
+        (r["doc_id"], r["poly_id"])
+        for r in pts.join(polys_raw, result.cell_col).select("doc_id", "poly_id").collect()
+    }
+    assert got_pairs == exp and got_pairs
+
+
+def test_knn_exact_vs_bruteforce(spark):
+    rng = np.random.default_rng(42)
+    n_t, n_q, k = 400, 30, 5
+    t = pd.DataFrame(
+        {
+            "target_id": [f"t{i:04d}" for i in range(n_t)],
+            "lat": rng.uniform(-44.4, -43.7, n_t),
+            "lon": rng.uniform(-176.6, -176.2, n_t),
+        }
+    )
+    q = pd.DataFrame(
+        {
+            "query_id": [f"q{i:03d}" for i in range(n_q)],
+            "lat": rng.uniform(-44.4, -43.7, n_q),
+            "lon": rng.uniform(-176.6, -176.2, n_q),
+        }
+    )
+    backend = get_backend("geohash")
+    got = knn(
+        spark.createDataFrame(q), spark.createDataFrame(t), backend, res=6, k=k
+    ).toPandas()
+    # brute force oracle
+    d2 = (q["lat"].to_numpy()[:, None] - t["lat"].to_numpy()[None, :]) ** 2 + (
+        q["lon"].to_numpy()[:, None] - t["lon"].to_numpy()[None, :]
+    ) ** 2
+    for qi, qid in enumerate(q["query_id"]):
+        order = np.lexsort((t["target_id"].to_numpy(), d2[qi]))[:k]
+        exp_ids = [t["target_id"][j] for j in order]
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert sub["target_id"].tolist() == exp_ids, qid
+    assert len(got) == n_q * k
+
+
+def test_assign_tiles_equijoin_golden(spark, docs, result):
+    """J4: tile assignment == equi-join on parent cell (FIXTURES.md §5)."""
+    backend = get_backend("geohash")
+    out = assign_tiles(result.cells, docs, backend, result.parent_res, result.parent_col)
+    got = {(r["doc_id"], r["media_ref"]) for r in out.select("doc_id", "media_ref").collect()}
+    # golden: compute tile parent cells in pandas, equi-join
+    tiles = tile_centers(extract_media(docs)).drop("doc_id").toPandas()
+    tiles["pc"] = backend.point_to_cell(
+        tiles["tile_lat"].to_numpy(), tiles["tile_lon"].to_numpy(), result.parent_res
+    )
+    cells_pd = result.cells.select("doc_id", result.parent_col).toPandas()
+    exp = set(
+        cells_pd.merge(tiles, left_on=result.parent_col, right_on="pc")[
+            ["doc_id", "media_ref"]
+        ].itertuples(index=False, name=None)
+    )
+    assert got == exp and got

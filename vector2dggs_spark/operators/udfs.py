@@ -1,0 +1,62 @@
+"""Vectorized pandas-UDF factories over the DGGS kernels.
+
+Every UDF here is Arrow-batched (`pandas_udf`) — numpy kernels over whole
+Series, never per-row Python (BASELINE.json input_hint requirement)."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from vector2dggs_spark.dggs import Backend
+
+
+def point_to_cell_udf(backend: Backend, res: int):
+    """(lat double, lon double) -> cell string."""
+
+    @F.pandas_udf("string")
+    def _udf(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(backend.point_to_cell(lat.to_numpy(), lon.to_numpy(), res))
+
+    return _udf
+
+
+def grid_disk_udf(backend: Backend, res: int, k: int):
+    """cell string -> array<string> of its (2k+1)^2-ish disk neighbors."""
+
+    @F.pandas_udf("array<string>")
+    def _udf(cells: pd.Series) -> pd.Series:
+        if cells.empty:
+            return pd.Series([], dtype=object)
+        disk = backend.grid_disk(cells.to_numpy(dtype=str), res, k)
+        return pd.Series(list(disk))
+
+    return _udf
+
+
+def cell_center_udf(backend: Backend, res: int):
+    """cell string -> struct<lat double, lon double> of the cell center."""
+
+    @F.pandas_udf("lat double, lon double")
+    def _udf(cells: pd.Series) -> pd.DataFrame:
+        lat, lon = backend.cell_center(cells.to_numpy(dtype=str), res)
+        return pd.DataFrame({"lat": lat, "lon": lon})
+
+    return _udf
+
+
+def cell_point_wkb_udf(backend: Backend, res: int):
+    """cell string -> WKB point of its center (GeoParquet point mode, S7)."""
+
+    @F.pandas_udf("binary")
+    def _udf(cells: pd.Series) -> pd.Series:
+        lat, lon = backend.cell_center(cells.to_numpy(dtype=str), res)
+        n = len(lat)
+        buf = np.zeros((n, 21), dtype=np.uint8)
+        buf[:, 0] = 1
+        buf[:, 1] = 1  # type=Point little-endian
+        xy = np.stack([lon, lat], axis=1).astype("<f8")
+        buf[:, 5:] = xy.view(np.uint8).reshape(n, 16)
+        return pd.Series([b.tobytes() for b in buf])
+
+    return _udf
