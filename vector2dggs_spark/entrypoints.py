@@ -1,0 +1,353 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracles.
+
+Each entry in ``QUERIES`` maps a name to ``(spark_fn, oracle_sql)``.
+``spark_fn(spark, sf_dir) -> DataFrame``; ``oracle_sql`` is ANSI SQL
+DuckDB runs over the same parquet tables (pre-registered views), or
+``None`` for ops that are not SQL-expressible (DGGS polyfill/linetrace/
+compaction over the synthesized interleaved documents table) — those get
+the driver's rows-only check and are covered cell-exactly by the pytest
+suites instead.
+
+Cross-engine determinism rules used throughout (see functions/sqlgen.py):
+* every fractional literal is pinned to DOUBLE (decimal-literal
+  arithmetic diverges between engines),
+* money aggregates go through exact DECIMAL(18,2) sums, cast to double
+  once at the end (float summation order is engine-dependent),
+* rank/row_number cast to INT, list sizes to BIGINT in both dialects,
+* float folds are left-to-right sequential in both engines.
+"""
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vector2dggs_spark.functions import sqlgen as G
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+GH6 = G.geohash_sql("lat", "lon", 6)
+GH4 = G.geohash_sql("lat", "lon", 4)
+GH4_TILE = G.geohash_sql("tile_lat", "tile_lon", 4)
+PTS = G.derived_points_sql("events", "event_id")
+TILES = G.derived_tiles_sql("supplier", "s_suppkey")
+
+
+def load_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _shared(sql: str) -> tuple[Callable, str]:
+    """A query whose Spark text and DuckDB oracle are the SAME string."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return fn, sql
+
+
+def _dialects(spark_sql: str, duck_sql: str) -> tuple[Callable, str]:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    return fn, duck_sql
+
+
+# ---------------------------------------------------------------- relational
+Q01 = _shared(
+    """
+SELECT l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+       cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= cast('1998-09-02' as date)
+GROUP BY l_returnflag, l_linestatus
+"""
+)
+
+Q02 = _shared(
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         cast(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) as int) AS rn
+  FROM orders) t
+WHERE rn <= 3
+"""
+)
+
+# ---------------------------------------------------------------- DGGS (shared SQL)
+Q03 = _shared(
+    f"""
+WITH pts AS ({PTS})
+SELECT {GH6} AS cell, count(*) AS n_points
+FROM pts GROUP BY 1
+"""
+)
+
+Q04 = _shared(
+    f"""
+WITH pts AS ({PTS}), cells AS (SELECT {GH6} AS cell FROM pts)
+SELECT substring(cell, 1, 3) AS parent_cell,
+       count(*) AS n_points,
+       count(distinct cell) AS n_cells
+FROM cells GROUP BY 1
+"""
+)
+
+Q05 = _shared(
+    f"""
+WITH pts AS ({PTS}), tiles AS ({TILES}),
+pc AS (SELECT point_id, {GH4} AS cell4 FROM pts),
+tc AS (SELECT DISTINCT media_ref, {GH4_TILE} AS cell4 FROM tiles)
+SELECT pc.point_id, tc.media_ref
+FROM pc JOIN tc ON pc.cell4 = tc.cell4
+"""
+)
+
+# ---------------------------------------------------------------- kNN (J3)
+_KNN_K = 5
+_KNN_ORACLE = f"""
+WITH pts AS ({PTS}), q AS (SELECT * FROM pts WHERE point_id < 30),
+c AS (
+  SELECT q.point_id AS query_id, t.point_id AS target_id,
+         ((q.lat - t.lat) * (q.lat - t.lat) +
+          (q.lon - t.lon) * (q.lon - t.lon)) AS dist_sq
+  FROM q CROSS JOIN pts t)
+SELECT query_id, target_id, dist_sq, rank FROM (
+  SELECT query_id, target_id, dist_sq,
+         cast(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist_sq, target_id) as int) AS rank
+  FROM c) r
+WHERE rank <= {_KNN_K}
+"""
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from vector2dggs_spark.dggs import get_backend
+    from vector2dggs_spark.operators.joins import knn
+
+    load_views(spark, sf_dir)
+    pts = spark.sql(PTS)
+    queries = pts.where(F.col("point_id") < 30).withColumnRenamed("point_id", "query_id")
+    targets = pts.withColumnRenamed("point_id", "target_id")
+    out = knn(queries, targets, get_backend("geohash"), res=6, k=_KNN_K)
+    return out.select("query_id", "target_id", "dist_sq", "rank")
+
+
+Q06 = (_q_knn, _KNN_ORACLE)
+
+# ---------------------------------------------------------------- dedup / text
+Q07 = _shared(
+    """
+SELECT md5(props) AS props_hash, min(event_id) AS keep_event_id, count(*) AS dup_count
+FROM events GROUP BY 1
+"""
+)
+
+Q08 = _dialects(
+    "SELECT doc_id, md5(lower(regexp_replace(text, ' +', ' '))) AS fingerprint FROM documents",
+    "SELECT doc_id, md5(lower(regexp_replace(text, ' +', ' ', 'g'))) AS fingerprint FROM documents",
+)
+
+Q09 = _dialects(
+    """
+WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents)
+SELECT doc_id, cast(size(toks) as bigint) AS n_tokens,
+       cast(size(array_distinct(toks)) as bigint) AS n_uniq
+FROM t
+""",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, cast(len(toks) as bigint) AS n_tokens,
+       cast(len(list_distinct(toks)) as bigint) AS n_uniq
+FROM t
+""",
+)
+
+_D = G.dlit
+_QUALITY_EXPR = (
+    f"least({_D(1.0)}, n_tokens / {_D(100.0)}) * {_D(0.5)}"
+    f" + (n_uniq / cast(n_tokens as double)) * {_D(0.5)}"
+)
+Q10 = _dialects(
+    f"""
+WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, cast(size(toks) as bigint) AS n_tokens,
+             cast(size(array_distinct(toks)) as bigint) AS n_uniq FROM t)
+SELECT doc_id, {_QUALITY_EXPR} AS quality_score FROM s
+""",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, cast(len(toks) as bigint) AS n_tokens,
+             cast(len(list_distinct(toks)) as bigint) AS n_uniq FROM t)
+SELECT doc_id, {_QUALITY_EXPR} AS quality_score FROM s
+""",
+)
+
+_STOP = "('the', 'a', 'of', 'to', 'and')"
+Q11 = _dialects(
+    f"""
+WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+             cast(size(filter(toks, x -> x in {_STOP})) as bigint) AS n_stop,
+             cast(size(toks) as bigint) AS n_tokens FROM t)
+SELECT doc_id, n_stop / cast(n_tokens as double) AS en_score,
+       CASE WHEN n_stop / cast(n_tokens as double) >= {_D(0.05)}
+            THEN 'en' ELSE 'other' END AS pred_lang
+FROM s
+""",
+    f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+             cast(len(list_filter(toks, x -> x in {_STOP})) as bigint) AS n_stop,
+             cast(len(toks) as bigint) AS n_tokens FROM t)
+SELECT doc_id, n_stop / cast(n_tokens as double) AS en_score,
+       CASE WHEN n_stop / cast(n_tokens as double) >= {_D(0.05)}
+            THEN 'en' ELSE 'other' END AS pred_lang
+FROM s
+""",
+)
+
+# MinHash LSH near-dup candidates: 16 hashes, 4 bands of 4 (word 3-gram
+# shingles; md5-based min-hash so both engines agree string-exactly).
+Q12 = _dialects(
+    """
+WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+f AS (SELECT doc_id, toks FROM t WHERE size(toks) >= 3),
+s AS (SELECT doc_id,
+             transform(sequence(1, size(toks) - 2),
+                       i -> concat_ws(' ', slice(toks, i, 3))) AS sh FROM f),
+m AS (SELECT doc_id,
+             transform(sequence(0, 15),
+                       j -> array_min(transform(sh, x -> md5(concat(cast(j as string), '|', x))))) AS mh
+      FROM s),
+b AS (SELECT doc_id, band, md5(concat_ws('|', slice(mh, band * 4 + 1, 4))) AS bv
+      FROM m LATERAL VIEW explode(array(0, 1, 2, 3)) x AS band)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id
+GROUP BY 1, 2
+""",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+s AS (SELECT doc_id,
+             [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)] AS sh FROM f),
+m AS (SELECT doc_id,
+             [list_aggregate([md5(cast(j as string) || '|' || x) for x in sh], 'min')
+              for j in range(0, 16)] AS mh
+      FROM s),
+b AS (SELECT doc_id, band, md5(array_to_string(mh[band*4+1:band*4+4], '|')) AS bv
+      FROM m, range(0, 4) r(band))
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id
+GROUP BY 1, 2
+""",
+)
+
+# ANN: brute-force cosine top-10 vs query vector 0; sequential double
+# folds keep both engines bit-identical, rank on the exact value.
+Q13 = _dialects(
+    f"""
+WITH q AS (SELECT transform(embedding, x -> cast(x as double)) AS qe
+           FROM embeddings WHERE vec_id = 0),
+d AS (SELECT vec_id, transform(embedding, x -> cast(x as double)) AS de FROM embeddings),
+s AS (SELECT vec_id,
+        aggregate(zip_with(de, qe, (x, y) -> x * y), cast(0.0 as double), (a, v) -> a + v) AS dot,
+        aggregate(transform(de, x -> x * x), cast(0.0 as double), (a, v) -> a + v) AS nd,
+        aggregate(transform(qe, x -> x * x), cast(0.0 as double), (a, v) -> a + v) AS nq
+      FROM d CROSS JOIN q)
+SELECT vec_id, round(dot / (sqrt(nd) * sqrt(nq)), 6) AS cos_sim, rnk FROM (
+  SELECT vec_id, dot, nd, nq,
+         cast(row_number() OVER (ORDER BY dot / (sqrt(nd) * sqrt(nq)) DESC, vec_id) as int) AS rnk
+  FROM s) r
+WHERE rnk <= 10
+""",
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+d AS (SELECT vec_id, embedding::DOUBLE[] AS de FROM embeddings),
+s AS (SELECT vec_id,
+        list_reduce([de[i] * qe[i] for i in range(1, len(de) + 1)], (a, b) -> a + b) AS dot,
+        list_reduce([de[i] * de[i] for i in range(1, len(de) + 1)], (a, b) -> a + b) AS nd,
+        list_reduce([qe[i] * qe[i] for i in range(1, len(qe) + 1)], (a, b) -> a + b) AS nq
+      FROM d CROSS JOIN q)
+SELECT vec_id, round(dot / (sqrt(nd) * sqrt(nq)), 6) AS cos_sim, rnk FROM (
+  SELECT vec_id, dot, nd, nq,
+         cast(row_number() OVER (ORDER BY dot / (sqrt(nd) * sqrt(nq)) DESC, vec_id) as int) AS rnk
+  FROM s) r
+WHERE rnk <= 10
+""",
+)
+
+
+# ------------------------------------------------- pipeline ops (rows-only)
+def _q_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector2dggs_spark import index
+    from vector2dggs_spark.sources.documents import documents_df
+
+    docs = documents_df(spark, 800, seed=42)
+    r = index(spark, docs, dggs="geohash", resolution=6, parent_res=3,
+              cut_threshold_deg2=0.01)
+    return r.cells
+
+
+def _q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector2dggs_spark import index
+    from vector2dggs_spark.sources.documents import documents_df
+
+    docs = documents_df(spark, 800, seed=42)
+    r = index(spark, docs, dggs="geohash", resolution=6, parent_res=3,
+              cut_threshold_deg2=0.01, compact=True)
+    return r.cells
+
+
+def _q_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector2dggs_spark import index
+    from vector2dggs_spark.sources.documents import documents_df
+
+    docs = documents_df(spark, 800, seed=42)
+    r = index(spark, docs, dggs="rhp", resolution=5, parent_res=2)
+    return r.cells
+
+
+QUERIES: dict[str, tuple[Callable, str | None]] = {
+    "q01_pricing_summary": Q01,
+    "q02_top_orders_per_customer": Q02,
+    "q03_point_index_geohash": Q03,
+    "q04_parent_rollup": Q04,
+    "q05_tile_assignment": Q05,
+    "q06_knn_ring_expansion": Q06,
+    "q07_dedup_exact": Q07,
+    "q08_fingerprint": Q08,
+    "q09_token_stats": Q09,
+    "q10_quality_score": Q10,
+    "q11_langid": Q11,
+    "q12_minhash_lsh_pairs": Q12,
+    "q13_ann_cosine_topk": Q13,
+    "q14_polyfill_pipeline_geohash": (_q_polyfill, None),
+    "q15_compaction_pipeline": (_q_compaction, None),
+    "q16_pipeline_rhp": (_q_rhp, None),
+}
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """Full pipeline at smoke scale: interleaved docs -> geohash cells ->
+    tile assignment join (the engine's signature dataflow)."""
+    from vector2dggs_spark import get_backend, index
+    from vector2dggs_spark.operators.joins import assign_tiles
+    from vector2dggs_spark.sources.documents import documents_df
+
+    docs = documents_df(spark, 400, seed=42)
+    r = index(spark, docs, dggs="geohash", resolution=6, parent_res=3)
+    tiles = assign_tiles(r.cells, docs, get_backend("geohash"), r.parent_res, r.parent_col)
+    return r.cells.join(
+        tiles.select("doc_id", "media_ref").dropDuplicates(["doc_id"]), "doc_id", "left"
+    )

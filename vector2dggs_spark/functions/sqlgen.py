@@ -118,10 +118,15 @@ def derived_points_sql(table: str = "events", id_col: str = "event_id") -> str:
     )
 
 
-def derived_tiles_sql(z: int = 6, table: str = "supplier", id_col: str = "s_suppkey") -> str:
-    n = 1 << z
-    x = f"(({id_col} * 13) % {n})"
-    y = f"(({id_col} * 29) % {n})"
+def derived_tiles_sql(table: str = "supplier", id_col: str = "s_suppkey") -> str:
+    """Deterministic z=10 equirectangular tiles inside the fixture window.
+
+    The z=10 linear tile grid (360/1024° × 180/1024°) coincides exactly
+    with geohash precision-4 cells, so tile↔cell assignment is a pure
+    grid identity both engines can compute."""
+    z = 10
+    x = f"(9 + ({id_col} % 2))"
+    y = f"(760 + ({id_col} % 6))"
     return (
         f"SELECT {tile_ref_sql(z, x, y)} AS media_ref, "
         f"{tile_center_lon_sql(z, x)} AS tile_lon, "
