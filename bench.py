@@ -1,0 +1,147 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": <sf>, "cells_per_sec": ..., ...}
+
+The headline metric is cell-IDs emitted/sec (BASELINE.md): the sum of
+cells produced by the native point-index path and the full interleaved-
+documents pipeline, divided by their wall time.  Scaling-efficiency
+evidence (local[8] vs local[32]) is produced by scripts/scaling_bench.py
+into BENCH/BASELINE.md.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+
+
+def _bench_docs_path(n: int) -> str:
+    return f"/tmp/v2dggs_bench/docs_n{n}_seed42.parquet"
+
+
+def ensure_bench_docs(spark, n: int) -> str:
+    """Materialize the synthesized interleaved docs once; reuse across
+    parallelism levels so scaling runs see identical input."""
+    path = _bench_docs_path(n)
+    marker = path + "/_SUCCESS"
+    if not os.path.exists(marker):
+        from vector2dggs_spark.sources.documents import documents_df
+
+        documents_df(spark, n, seed=42).repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_bench(spark, sf_dir: str) -> dict:
+    from vector2dggs_spark import get_backend, index
+    from vector2dggs_spark.entrypoints import PTS, load_views
+    from vector2dggs_spark.functions import sqlgen as G
+    from vector2dggs_spark.operators.joins import knn
+
+    times: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+        counts[name] = out
+        return out
+
+    load_views(spark, sf_dir)
+    docs_path = ensure_bench_docs(spark, BENCH_DOCS)
+    docs = spark.read.parquet(docs_path)
+
+    # 1. native point index at res 9 (pure WholeStageCodegen SQL)
+    gh9 = G.geohash_sql("lat", "lon", 9)
+    timed(
+        "point_index_native_r9",
+        lambda: spark.sql(
+            f"WITH pts AS ({PTS}) "
+            f"SELECT substring(cell, 1, 3) AS parent, count(*) AS n FROM "
+            f"(SELECT {gh9} AS cell FROM pts) GROUP BY 1"
+        ).agg(F.sum("n")).collect()[0][0],
+    )
+
+    # 2. full interleaved-documents pipeline (polygons + lines + points)
+    r = index(spark, docs, dggs="geohash", resolution=6, parent_res=3)
+    cells = r.cells.cache()
+    timed("pipeline_docs_r6", lambda: cells.count())
+
+    # 3. spatial cell join: point cells x polygon cells
+    pts_cells = spark.sql(f"WITH pts AS ({PTS}) SELECT {G.geohash_sql('lat','lon',6)} AS geohash_06 FROM pts")
+    timed(
+        "spatial_join",
+        lambda: pts_cells.join(cells, "geohash_06").count(),
+    )
+
+    # 4. kNN ring expansion: 200 queries vs derived points
+    pts = spark.sql(PTS)
+    timed(
+        "knn_200x_k5",
+        lambda: knn(
+            pts.where(F.col("point_id") < 200).withColumnRenamed("point_id", "query_id"),
+            pts.withColumnRenamed("point_id", "target_id"),
+            get_backend("geohash"),
+            res=6,
+            k=5,
+        ).count(),
+    )
+
+    # 5. compaction over the pipeline output
+    rc = index(spark, docs, dggs="geohash", resolution=6, parent_res=3, compact=True)
+    timed("compaction", lambda: rc.cells.count())
+
+    # 6. minhash-LSH candidate pairs over documents
+    from vector2dggs_spark.entrypoints import QUERIES
+
+    timed("minhash_lsh", lambda: QUERIES["q12_minhash_lsh_pairs"][0](spark, sf_dir).count())
+
+    # 7. ANN cosine top-k over embeddings
+    timed("ann_cosine", lambda: QUERIES["q13_ann_cosine_topk"][0](spark, sf_dir).count())
+
+    cells.unpersist()
+    indexed_cells = counts["point_index_native_r9"] + counts["pipeline_docs_r6"]
+    index_time = times["point_index_native_r9"] + times["pipeline_docs_r6"]
+    return {
+        "metric": "headline suite wall time (cells/sec in cells_per_sec)",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_from_dir(sf_dir),
+        "cells_emitted": int(indexed_cells),
+        "cells_per_sec": round(indexed_cells / max(index_time, 1e-9), 1),
+        "bench_docs": BENCH_DOCS,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from vector2dggs_spark.session import get_spark
+
+    spark = get_spark(cores=cpus, app="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = run_bench(spark, sf_dir)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
