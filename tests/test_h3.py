@@ -1,0 +1,173 @@
+"""H3 cell math: published test vectors + internal consistency.
+
+The two latlng→cell vectors are from the public H3 documentation
+(h3geo.org quickstart / API docs) — they exercise the derived base-cell
+tables, fold rotations, digit generation, and bit layout end-to-end."""
+import numpy as np
+import pytest
+
+from vector2dggs_spark.dggs import get_backend
+from vector2dggs_spark.dggs import h3core as H
+
+
+def test_published_vectors():
+    # h3geo.org quickstart: (37.7752702151959257, -122.418307270836565) res 9
+    v = H.latlng_to_cell([37.7752702151959257], [-122.418307270836565], 9)
+    assert H.to_token(v)[0] == "8928308280fffff"
+    # h3 API docs example: res 5
+    v5 = H.latlng_to_cell([37.3615593], [-122.0553238], 5)
+    assert H.to_token(v5)[0] == "85283473fffffff"
+
+
+def test_bit_layout():
+    v = int(H.from_token(["8928308280fffff"])[0])
+    assert (v >> 59) & 15 == 1  # mode
+    assert (v >> 52) & 15 == 9  # res
+    assert (v >> 45) & 127 == 20  # SF base cell
+    assert H.get_resolution([v])[0] == 9
+
+
+def test_parent_child_bit_ops():
+    v = H.from_token(["8928308280fffff"])
+    p = H.cell_to_parent(v, 5)
+    assert H.get_resolution(p)[0] == 5
+    assert H.to_token(p)[0] == "85283083fffffff"
+    # center child of the parent back down
+    cc = H.cell_to_center_child(p, 7)
+    assert H.get_resolution(cc)[0] == 7
+    assert H.to_token(H.cell_to_parent(cc, 5))[0] == H.to_token(p)[0]
+
+
+def test_roundtrip_encode_center_reencode():
+    rng = np.random.default_rng(42)
+    lat = rng.uniform(-85, 85, 2000)
+    lon = rng.uniform(-180, 180, 2000)
+    for res in (0, 2, 5, 9, 12):
+        cells = H.latlng_to_cell(lat, lon, res)
+        clat, clon = H.cell_to_latlng(cells)
+        again = H.latlng_to_cell(clat, clon, res)
+        assert np.array_equal(cells, again), f"res {res}"
+
+
+def test_hierarchy_consistency():
+    """A cell's center must encode to its bit-parent at res-1 (aperture-7
+    children never stick their CENTERS outside the parent), and the naive
+    point-hierarchy holds for the vast majority of points (it is not
+    exact in real H3 either — children overhang parent boundaries)."""
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-85, 85, 1000)
+    lon = rng.uniform(-180, 180, 1000)
+    from vector2dggs_spark.dggs.h3core.tables import IS_PENTAGON
+
+    for res in (1, 4, 8):
+        fine = H.latlng_to_cell(lat, lon, res + 1)
+        clat, clon = H.cell_to_latlng(fine)
+        via_center = H.latlng_to_cell(clat, clon, res)
+        # exact on hexagon base cells; pentagon bases are the documented
+        # leading-K-digit limitation (h3core module docstring)
+        hexbase = ~IS_PENTAGON[H.base_cell(fine)]
+        bp = H.cell_to_parent(fine, res)
+        assert np.array_equal(bp[hexbase], via_center[hexbase]), f"res {res}"
+        assert hexbase.mean() > 0.85
+        coarse = H.latlng_to_cell(lat, lon, res)
+        agree = (bp == coarse).mean()
+        assert agree > 0.85, (res, agree)
+
+
+def test_children_partition():
+    v = int(H.latlng_to_cell([-43.9], [-176.4], 6)[0])
+    kids = H.cell_to_children(v, 7)
+    assert len(kids) == 7
+    # children centers encode back to themselves and parent to v
+    kv = np.array(kids, dtype=np.uint64)
+    lat, lon = H.cell_to_latlng(kv)
+    assert np.array_equal(H.latlng_to_cell(lat, lon, 7), kv)
+    assert np.all(H.cell_to_parent(kv, 6) == v)
+
+
+def test_pentagon_flags():
+    assert int(H.IS_PENTAGON.sum()) == 12 if hasattr(H, "IS_PENTAGON") else True
+    from vector2dggs_spark.dggs.h3core.tables import IS_PENTAGON
+
+    assert sorted(np.nonzero(IS_PENTAGON)[0].tolist()) == [
+        4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117,
+    ]
+
+
+def test_compact_roundtrip():
+    v = int(H.latlng_to_cell([-44.0], [-176.3], 4)[0])
+    kids = H.cell_to_children(v, 6)
+    assert H.compact_cells(kids) == {v}
+    one = H.cell_to_children(v, 5)
+    assert H.compact_cells(one[:-1]) == set(one[:-1])
+
+
+def test_neighbors_and_disk():
+    c = H.latlng_to_cell([-44.0], [-176.4], 7)
+    nb = H.neighbors(c)
+    assert len(set(nb[0].tolist())) == 6
+    # neighbors are mutual
+    for n in nb[0]:
+        back = H.neighbors(np.array([n], dtype=np.uint64))
+        assert int(c[0]) in set(back[0].tolist())
+    disk1 = H.grid_disk(c, 1)[0]
+    assert len(disk1) == 7
+    disk2 = H.grid_disk(c, 2)[0]
+    assert len(disk2) == 19  # 1 + 6 + 12
+
+
+def test_neighbors_across_face_edge():
+    """Cells straddling an icosahedron edge still get 6 mutual neighbors."""
+    # face boundary between faces: pick a point near an icosa edge midpoint
+    from vector2dggs_spark.dggs.h3core.tables import FACE_CENTER_GEO
+
+    latm = np.degrees((FACE_CENTER_GEO[0, 0] + FACE_CENTER_GEO[4, 0]) / 2)
+    lonm = np.degrees((FACE_CENTER_GEO[0, 1] + FACE_CENTER_GEO[4, 1]) / 2)
+    c = H.latlng_to_cell([latm], [lonm], 6)
+    disk = H.grid_disk(c, 2)[0]
+    assert len(disk) == 19
+
+
+def test_backend_registered_and_polyfill():
+    b = get_backend("h3")
+    ring = np.array(
+        [[-176.5, -44.2], [-176.3, -44.2], [-176.3, -44.0], [-176.5, -44.0], [-176.5, -44.2]]
+    )
+    cells = b.polyfill([ring], 7)
+    assert len(cells) > 10
+    lat, lon = b.cell_center(cells, 7)
+    assert np.all((lon > -176.5) & (lon < -176.3) & (lat > -44.2) & (lat < -44.0))
+    # parent tokens
+    p = b.parent(cells, 3)
+    assert all(len(t) == 15 for t in p)
+
+
+def test_backend_linetrace_connected():
+    b = get_backend("h3")
+    coords = np.array([[-176.5, -44.2], [-176.35, -44.05], [-176.3, -44.15]])
+    cells = b.linetrace(coords, 7)
+    assert len(cells) == len(set(cells))
+    ends = b.point_to_cell(coords[:, 1], coords[:, 0], 7)
+    assert set(ends) <= set(cells)
+    # chain connectivity via neighbors
+    vs = H.from_token(np.asarray(cells, dtype=str))
+    nbs = H.neighbors(vs)
+    cellset = set(vs.tolist())
+    for idx in range(len(vs)):
+        if len(vs) > 1:
+            assert cellset & set(nbs[idx].tolist()) - {int(vs[idx])}
+
+
+def test_parent_expr_native(spark):
+    b = get_backend("h3")
+    import pandas as pd
+
+    toks = b.point_to_cell(
+        np.linspace(-44.3, -43.8, 50), np.linspace(-176.55, -176.25, 50), 9
+    )
+    df = spark.createDataFrame(pd.DataFrame({"h3_09": toks}))
+    from pyspark.sql import functions as F
+
+    out = df.withColumn("h3_03", b.parent_expr(F.col("h3_09"), 9, 3)).toPandas()
+    expected = b.parent(toks, 3)
+    assert list(out["h3_03"]) == list(expected)

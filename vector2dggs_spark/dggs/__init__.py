@@ -175,10 +175,13 @@ def available() -> list[str]:
 register(GeohashBackend())
 register(RhpBackend())
 
-# H3 registers itself on import if its derived tables validate
+# H3 registers itself on import if its derived tables validate (the
+# derivation asserts 122 cells and canonical pentagon numbering)
 try:
     from vector2dggs_spark.dggs.h3backend import H3Backend
 
     register(H3Backend())
-except ImportError:
-    pass
+except Exception as _e:  # pragma: no cover - derivation failure is fatal in tests
+    import warnings
+
+    warnings.warn(f"h3 backend unavailable: {_e}")

@@ -1,0 +1,134 @@
+"""H3 backend adapter — wires the from-scratch h3core into the engine.
+
+Cell tokens are lowercase-hex strings exactly like libh3
+(``8928308280fffff``); parents are NATIVE Spark bit expressions on the
+u64 (``conv`` + mask-or — SURVEY.md C4: "a parent is a bit operation"),
+so the secondary index never leaves the JVM.
+
+Reference semantics mirrored (``/root/reference/vector2dggs/indexers/
+h3vectorindexer.py``): polygon polyfill is centroid-containment (C1),
+linetrace unions per-segment cell chains with (cell, feature) dedup
+(C2), compaction uses the center child as the relabel anchor (A3/A4 via
+``cell_to_center_child``).
+"""
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from vector2dggs_spark.dggs import h3core as H
+
+
+class H3Backend:
+    name = "h3"
+    min_res = H.MIN_RES
+    max_res = H.MAX_RES
+    geodesic = True  # H3 polyfill is geodesic (vectorindexer GEODESIC_POLYFILL)
+
+    # ---------------------------------------------------------- core ops
+    def point_to_cell(self, lat, lon, res):
+        return H.to_token(H.latlng_to_cell(lat, lon, res))
+
+    def cell_center(self, cells, res):
+        return H.cell_to_latlng(H.from_token(np.asarray(cells, dtype=str)))
+
+    def parent(self, cells, parent_res):
+        v = H.from_token(np.asarray(cells, dtype=str))
+        return H.to_token(H.cell_to_parent(v, parent_res))
+
+    def parent_expr(self, col: Column, res: int, parent_res: int) -> Column:
+        """Native JVM bit math: clear res nibble, set parent res, fill
+        child digits with 7s; back to the lowercase hex token."""
+        v = F.conv(col, 16, 10).cast("long")
+        res_mask = 15 << 52
+        fill = (1 << (3 * (15 - parent_res))) - 1
+        pv = (
+            v.bitwiseAND(F.lit(~res_mask))
+            .bitwiseOR(F.lit(parent_res << 52))
+            .bitwiseOR(F.lit(fill))
+        )
+        return F.lower(F.hex(pv))
+
+    # ---------------------------------------------------------- compaction kit
+    def compact(self, cells):
+        v = H.from_token(np.asarray(list(cells), dtype=str))
+        return {format(c, "x") for c in H.compact_cells(v)}
+
+    def get_resolution(self, cell: str) -> int:
+        return int(H.get_resolution(H.from_token([cell]))[0])
+
+    def children_at_res(self, cell: str, target_res: int):
+        v = int(H.from_token([cell])[0])
+        if target_res <= self.get_resolution(cell):
+            return [cell]
+        return [format(c, "x") for c in H.cell_to_children(v, target_res)]
+
+    def designated_child(self, cell: str, res: int) -> str:
+        v = H.from_token([cell])
+        return str(H.to_token(H.cell_to_center_child(v, res))[0])
+
+    # ---------------------------------------------------------- geometry ops
+    def polyfill(self, rings, res):
+        """Cells whose center is inside the polygon — H3 v4
+        'containment: center' modality (reference h3vectorindexer.py:16-18).
+
+        Candidates via grid-disk covering of the bbox circumdisk, then one
+        vectorized PIP pass over candidate centers."""
+        from vector2dggs_spark.geometry.kernels import points_in_polygon
+
+        ext = rings[0]
+        clon = (ext[:, 0].min() + ext[:, 0].max()) / 2.0
+        clat = (ext[:, 1].min() + ext[:, 1].max()) / 2.0
+        seed = H.latlng_to_cell([clat], [clon], res)
+        spacing = H.mean_center_spacing_deg(res)
+        half_diag = 0.5 * np.hypot(
+            ext[:, 0].max() - ext[:, 0].min(), ext[:, 1].max() - ext[:, 1].min()
+        )
+        k = int(np.ceil(half_diag / spacing)) + 2
+        if k > 600:
+            raise ValueError(
+                f"h3 polyfill bbox needs k={k} rings at res {res}; bisect first"
+            )
+        cand = H.grid_disk(seed, k)[0]
+        lat_c, lon_c = H.cell_to_latlng(cand)
+        inside = points_in_polygon(lon_c, lat_c, rings)
+        return H.to_token(cand[inside])
+
+    def linetrace(self, coords, res):
+        """Cells along each segment (dense geodesic-in-latlon sampling,
+        deduped keep-first — reference C2 semantics are 'union of
+        per-segment cell paths')."""
+        spacing = H.mean_center_spacing_deg(res)
+        pts = [coords[:1]]
+        for a, b in zip(coords[:-1], coords[1:]):
+            n = max(int(np.ceil(max(abs(b[0] - a[0]), abs(b[1] - a[1])) / (spacing / 4))), 1)
+            t = np.linspace(0, 1, n + 1)[1:]
+            pts.append(a[None, :] + t[:, None] * (b - a)[None, :])
+        pts = np.concatenate(pts)
+        cells = H.to_token(H.latlng_to_cell(pts[:, 1], pts[:, 0], res))
+        _, idx = np.unique(cells, return_index=True)
+        return cells[np.sort(idx)]
+
+    def grid_disk(self, cells, res, k):
+        v = H.from_token(np.asarray(cells, dtype=str))
+        return [H.to_token(d) for d in H.grid_disk(v, k)]
+
+    def cell_width_deg(self, res: int) -> float:
+        return H.mean_center_spacing_deg(res)
+
+    def cell_bbox(self, cells, res):
+        lat, lon = self.cell_center(cells, res)
+        h = self.cell_width_deg(res)
+        return lat - h, lon - h, lat + h, lon + h
+
+    # ---------------------------------------------------------- defaults
+    def col_name(self, res: int) -> str:
+        return f"{self.name}_{res:02d}"
+
+    def default_parent_res(self, res: int) -> int:
+        return max(self.min_res, res - 6)
+
+    def default_cut_threshold_deg2(self, parent_res: int) -> float:
+        w = self.cell_width_deg(max(parent_res, 1)) * 3.0
+        return w * w
