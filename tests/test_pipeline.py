@@ -160,3 +160,15 @@ def test_antimeridian_gated_split(spark):
     assert (lon > 170).any() and (lon < -170).any()
     # and no bogus cells spanning the globe interior
     assert np.all((np.abs(lon) > 170))
+
+
+def test_h3_end_to_end(spark, docs):
+    r = index(spark, docs, dggs="h3", resolution=8, parent_res=3)
+    rows = r.cells.limit(2000).collect()
+    assert rows
+    import vector2dggs_spark.dggs.h3core as H
+
+    for row in rows[:50]:
+        v = H.from_token([row["h3_08"]])
+        assert H.get_resolution(v)[0] == 8
+        assert row["h3_03"] == str(H.to_token(H.cell_to_parent(v, 3))[0])

@@ -318,6 +318,31 @@ def _q_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.cells
 
 
+def _q_h3_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector2dggs_spark import index
+    from vector2dggs_spark.sources.documents import documents_df
+
+    docs = documents_df(spark, 800, seed=42)
+    r = index(spark, docs, dggs="h3", resolution=8, parent_res=3)
+    return r.cells
+
+
+def _q_knn_h3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN is exact regardless of DGGS backend, so the H3 ring-expansion
+    variant shares the brute-force oracle with the geohash one."""
+    from pyspark.sql import functions as F
+
+    from vector2dggs_spark.dggs import get_backend
+    from vector2dggs_spark.operators.joins import knn
+
+    load_views(spark, sf_dir)
+    pts = spark.sql(PTS)
+    queries = pts.where(F.col("point_id") < 30).withColumnRenamed("point_id", "query_id")
+    targets = pts.withColumnRenamed("point_id", "target_id")
+    out = knn(queries, targets, get_backend("h3"), res=7, k=_KNN_K)
+    return out.select("query_id", "target_id", "dist_sq", "rank")
+
+
 QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q01_pricing_summary": Q01,
     "q02_top_orders_per_customer": Q02,
@@ -335,6 +360,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q14_polyfill_pipeline_geohash": (_q_polyfill, None),
     "q15_compaction_pipeline": (_q_compaction, None),
     "q16_pipeline_rhp": (_q_rhp, None),
+    "q17_knn_h3": (_q_knn_h3, _KNN_ORACLE),
+    "q18_pipeline_h3": (_q_h3_pipeline, None),
 }
 
 

@@ -116,8 +116,10 @@ def knn(
     cells at ``res``; ring r joins each pending query's grid-disk(r)
     against the target cells; a query finishes when its k-th candidate
     distance is covered by the ring guarantee radius (any target outside
-    disk(r) is at planar distance ≥ r·min_cell_dim).  Driver loops over
-    doubling ring radii; all data movement is joins — no collected rows.
+    disk(r) is at planar distance ≥ (r−1)·0.8·cell_width — conservative
+    for square AND hex grids, so the same exactness proof holds for
+    geohash, rHP and H3 backends).  Driver loops over doubling ring
+    radii; all data movement is joins — no collected rows.
 
     Returns (query_id, target_id, dist_sq, rank) with rank 1..k by
     (dist_sq, target_id) — deterministic under ties.
@@ -157,7 +159,7 @@ def knn(
                 W.partitionBy("__qid").orderBy(F.col("dist_sq"), F.col("__tid"))
             ),
         ).where(F.col("rank") <= k)
-        guarantee = float(r * min_dim) ** 2
+        guarantee = (max(r - 1, 0) * 0.8 * min_dim) ** 2
         stats = ranked.groupBy("__qid").agg(
             F.count("*").alias("n"), F.max("dist_sq").alias("kth")
         )
