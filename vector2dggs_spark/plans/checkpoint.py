@@ -113,11 +113,14 @@ def verify_lineage(spark: SparkSession, output: str) -> dict:
     with open(os.path.join(output, LINEAGE)) as f:
         lineage = json.load(f)
     parent_col = lineage["parent_col"]
-    df = spark.read.parquet(output)
-    actual = {
-        str(r[parent_col]): r["n"]
-        for r in df.groupBy(parent_col).agg(F.count("*").alias("n")).collect()
-    }
+    try:
+        df = spark.read.parquet(output)
+        actual = {
+            str(r[parent_col]): r["n"]
+            for r in df.groupBy(parent_col).agg(F.count("*").alias("n")).collect()
+        }
+    except Exception:  # dataset unreadable/empty -> everything is missing
+        actual = {}
     bad = {}
     for p, n in lineage["partitions"].items():
         if actual.get(p) != n:
