@@ -1,0 +1,95 @@
+"""GeoParquet output mode (S7): structure mirrors the reference's
+output_validation.py:59-78 (geometry column + valid geo metadata)."""
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from vector2dggs_spark import get_backend, index
+from vector2dggs_spark.geometry.kernels import points_in_polygon
+from vector2dggs_spark.geometry.wkt import from_wkb
+from vector2dggs_spark.sources.documents import documents_df
+from vector2dggs_spark.sources.sinks import write_geoparquet
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    docs = documents_df(spark, 120, seed=3)
+    r = index(spark, docs, dggs="geohash", resolution=5, parent_res=3)
+    r.cells.cache().count()
+    return r
+
+
+def _files(out):
+    for root, _d, files in os.walk(out):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                yield os.path.join(root, fn)
+
+
+@pytest.mark.parametrize("mode", ["point", "polygon"])
+def test_geoparquet_structure(spark, result, tmp_path, mode):
+    out = str(tmp_path / mode)
+    write_geoparquet(result, out, mode=mode)
+    files = list(_files(out))
+    assert files
+    for path in files:
+        t = pq.read_table(path)
+        assert "geometry" in t.column_names
+        meta = t.schema.metadata
+        geo = json.loads(meta[b"geo"])
+        assert geo["version"] == "1.1.0"
+        assert geo["primary_column"] == "geometry"
+        col = geo["columns"]["geometry"]
+        assert col["encoding"] == "WKB"
+        assert col["crs"]["id"] == {"authority": "EPSG", "code": 4326}
+        assert col["geometry_types"] == (["Point"] if mode == "point" else ["Polygon"])
+        bbox = col["bbox"]
+        assert bbox[0] <= bbox[2] and bbox[1] <= bbox[3]
+        # every geometry within the file bbox and decodes as valid WKB
+        for wkb in t.column("geometry").to_pylist()[:20]:
+            g = from_wkb(wkb)
+            assert g[0] == ("Point" if mode == "point" else "Polygon")
+
+
+def test_point_geometry_is_cell_center(spark, result, tmp_path):
+    out = str(tmp_path / "pt")
+    write_geoparquet(result, out, mode="point")
+    backend = get_backend("geohash")
+    path = next(_files(out))
+    t = pq.read_table(path).to_pandas()
+    lat, lon = backend.cell_center(t["geohash_05"].to_numpy(dtype=str), 5)
+    for idx, wkb in enumerate(t["geometry"][:50]):
+        g = from_wkb(wkb)
+        assert abs(g[1][0] - lon[idx]) < 1e-9
+        assert abs(g[1][1] - lat[idx]) < 1e-9
+
+
+def test_polygon_geometry_contains_center(spark, result, tmp_path):
+    out = str(tmp_path / "pg")
+    write_geoparquet(result, out, mode="polygon")
+    backend = get_backend("geohash")
+    path = next(_files(out))
+    t = pq.read_table(path).to_pandas()
+    lat, lon = backend.cell_center(t["geohash_05"].to_numpy(dtype=str), 5)
+    for idx, wkb in enumerate(t["geometry"][:50]):
+        g = from_wkb(wkb)
+        inside = points_in_polygon(np.array([lon[idx]]), np.array([lat[idx]]), g[1])
+        assert inside[0]
+
+
+def test_h3_boundary_rings(spark):
+    b = get_backend("h3")
+    cells = b.point_to_cell(np.array([-44.0, -43.9]), np.array([-176.4, -176.3]), 7)
+    rings = b.cell_boundary(cells, 7)
+    assert rings.shape == (2, 7, 2)
+    # closed, and center inside its own hexagon
+    assert np.allclose(rings[:, 0], rings[:, 6])
+    lat, lon = b.cell_center(cells, 7)
+    for i in range(2):
+        assert points_in_polygon(np.array([lon[i]]), np.array([lat[i]]), [rings[i]])[0]
+    # hexagon vertices should be shared with neighbors: all 6 distinct
+    for i in range(2):
+        assert len({(round(x, 9), round(y, 9)) for x, y in rings[i][:6]}) == 6

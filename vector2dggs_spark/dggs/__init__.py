@@ -97,6 +97,19 @@ class GeohashBackend(Backend):
     def cell_bbox(self, cells, res):
         return _gh.decode_bbox(cells, res)
 
+    def cell_boundary(self, cells, res):
+        """(n, m, 2) [lon, lat] closed rings — geohash cells are lat/lon
+        rectangles."""
+        minlat, minlon, maxlat, maxlon = _gh.decode_bbox(cells, res)
+        n = len(minlat)
+        ring = np.empty((n, 5, 2))
+        ring[:, 0] = np.stack([minlon, minlat], 1)
+        ring[:, 1] = np.stack([maxlon, minlat], 1)
+        ring[:, 2] = np.stack([maxlon, maxlat], 1)
+        ring[:, 3] = np.stack([minlon, maxlat], 1)
+        ring[:, 4] = ring[:, 0]
+        return ring
+
 
 class RhpBackend(Backend):
     name = "rhp"
@@ -150,6 +163,26 @@ class RhpBackend(Backend):
         lat, lon = _rhp.cell_center(cells)
         h = self.cell_width_deg(res) / 2.0
         return lat - h, lon - h, lat + h, lon + h
+
+    def cell_boundary(self, cells, res):
+        """(n, 5, 2) [lon, lat] rings: planar cell-square corners
+        inverse-projected to the sphere (exact rHEALPix cell shape)."""
+        import numpy as _np
+
+        face, u, v, r = _rhp.cell_to_uv(_np.atleast_1d(cells))
+        x0, ytop = _rhp._face_origin(face)
+        side = (_np.pi / 2.0) / (3**r)
+        half = 0.5
+        cx = x0 + u * (_np.pi / 2.0)
+        cy = ytop - v * (_np.pi / 2.0)
+        n = len(face)
+        ring = _np.empty((n, 5, 2))
+        for idx, (du, dv) in enumerate([(-half, -half), (half, -half), (half, half), (-half, half)]):
+            lon, lat = _rhp.unproject(cx + du * side, cy + dv * side)
+            ring[:, idx, 0] = lon
+            ring[:, idx, 1] = lat
+        ring[:, 4] = ring[:, 0]
+        return ring
 
 
 _REGISTRY: dict[str, Backend] = {}

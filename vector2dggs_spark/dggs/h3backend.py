@@ -122,6 +122,16 @@ class H3Backend:
         h = self.cell_width_deg(res)
         return lat - h, lon - h, lat + h, lon + h
 
+    def cell_boundary(self, cells, res):
+        """(n, 7, 2) [lon, lat] closed hexagon rings."""
+        lat, lon = H.cell_boundary(H.from_token(np.asarray(cells, dtype=str)))
+        n = lat.shape[0]
+        ring = np.empty((n, 7, 2))
+        ring[:, :6, 0] = lon
+        ring[:, :6, 1] = lat
+        ring[:, 6] = ring[:, 0]
+        return ring
+
     # ---------------------------------------------------------- defaults
     def col_name(self, res: int) -> str:
         return f"{self.name}_{res:02d}"

@@ -485,6 +485,44 @@ def grid_disk(cells, k: int) -> list[np.ndarray]:
     return [np.array(sorted(d), dtype=np.uint64) for d in disks]
 
 
+def cell_boundary(cells) -> tuple[np.ndarray, np.ndarray]:
+    """cells -> (lat, lon) arrays of shape (n, 6): hexagon vertices.
+
+    Each vertex is the lattice centroid of the cell and two consecutive
+    neighbors ((c + n_i + n_{i+1})/3 — exact in the gnomonic plane),
+    unfolded across face edges like cell centers.  Pentagon cells get a
+    degenerate 6th vertex (duplicate), consistent with the documented
+    pentagon limitation."""
+    cells = np.atleast_1d(np.asarray(cells, dtype=np.uint64))
+    res = int(get_resolution(cells)[0])
+    face, i, j, k, sub = _cells_to_substrate_ijk(cells)
+    # neighbor offsets in substrate units, sorted by angle
+    offs = []
+    for d in range(1, 7):
+        u = _UNIT_VECS[d]
+        if sub > res:
+            oi, oj, ok = _down_ap7r(np.array([u[0]]), np.array([u[1]]), np.array([u[2]]))
+            offs.append((int(oi[0]), int(oj[0]), int(ok[0])))
+        else:
+            offs.append((int(u[0]), int(u[1]), int(u[2])))
+    xy = [np.array(_ijk_to_hex2d(np.float64(o[0]), np.float64(o[1]), np.float64(o[2]))) for o in offs]
+    order = np.argsort([np.arctan2(v[1], v[0]) for v in xy])
+    cx, cy = _ijk_to_hex2d(i.astype(np.float64), j.astype(np.float64), k.astype(np.float64))
+    scale = T.M_SQRT7 ** sub
+    lat_out = np.empty((len(cells), 6))
+    lon_out = np.empty((len(cells), 6))
+    for vi in range(6):
+        o1 = xy[order[vi]]
+        o2 = xy[order[(vi + 1) % 6]]
+        # vertex = (center + n1 + n2)/3 where n = center + offset
+        vx = cx + (o1[0] + o2[0]) / 3.0
+        vy = cy + (o1[1] + o2[1]) / 3.0
+        la, lo = _hex2d_res0_to_geo(face.copy(), vx / scale, vy / scale)
+        lat_out[:, vi] = la
+        lon_out[:, vi] = lo
+    return lat_out, lon_out
+
+
 def mean_center_spacing_deg(res: int) -> float:
     """Empirical min center-to-center spacing (degrees) at a resolution —
     used for kNN ring guarantees and polyfill disk sizing."""
