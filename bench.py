@@ -59,14 +59,14 @@ def run_bench(spark, sf_dir: str) -> dict:
     docs_path = ensure_bench_docs(spark, BENCH_DOCS)
     docs = spark.read.parquet(docs_path)
 
-    # 1. native point index at res 9 (pure WholeStageCodegen SQL)
-    gh9 = G.geohash_sql("lat", "lon", 9)
+    # 1. native point index at res 9 (pure WholeStageCodegen SQL,
+    # staged lateral-alias form keeps parse/codegen linear)
+    gh9 = G.geohash_select_sql(PTS, "lat", "lon", 9, ["point_id"], out="cell")
     timed(
         "point_index_native_r9",
         lambda: spark.sql(
-            f"WITH pts AS ({PTS}) "
             f"SELECT substring(cell, 1, 3) AS parent, count(*) AS n FROM "
-            f"(SELECT {gh9} AS cell FROM pts) GROUP BY 1"
+            f"({gh9}) __c GROUP BY 1"
         ).agg(F.sum("n")).collect()[0][0],
     )
 
@@ -76,7 +76,9 @@ def run_bench(spark, sf_dir: str) -> dict:
     timed("pipeline_docs_r6", lambda: cells.count())
 
     # 3. spatial cell join: point cells x polygon cells
-    pts_cells = spark.sql(f"WITH pts AS ({PTS}) SELECT {G.geohash_sql('lat','lon',6)} AS geohash_06 FROM pts")
+    pts_cells = spark.sql(
+        G.geohash_select_sql(PTS, "lat", "lon", 6, [], out="geohash_06")
+    )
     timed(
         "spatial_join",
         lambda: pts_cells.join(cells, "geohash_06").count(),

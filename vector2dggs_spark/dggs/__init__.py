@@ -53,6 +53,7 @@ class GeohashBackend(Backend):
     min_res = _gh.MIN_RES
     max_res = _gh.MAX_RES
     geodesic = _gh.GEODESIC
+    min_siblings = 32  # complete sibling set size (compaction fast path)
 
     def point_to_cell(self, lat, lon, res):
         return _gh.encode(lat, lon, res)
@@ -116,6 +117,7 @@ class RhpBackend(Backend):
     min_res = _rhp.MIN_RES
     max_res = _rhp.MAX_RES
     geodesic = _rhp.GEODESIC
+    min_siblings = 9
 
     def point_to_cell(self, lat, lon, res):
         return _rhp.point_to_cell(lat, lon, res)

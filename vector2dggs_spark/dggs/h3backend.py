@@ -25,6 +25,7 @@ class H3Backend:
     min_res = H.MIN_RES
     max_res = H.MAX_RES
     geodesic = True  # H3 polyfill is geodesic (vectorindexer GEODESIC_POLYFILL)
+    min_siblings = 6  # pentagons have 6 children; hexagons 7
 
     # ---------------------------------------------------------- core ops
     def point_to_cell(self, lat, lon, res):

@@ -28,11 +28,15 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
-GH6 = G.geohash_sql("lat", "lon", 6)
-GH4 = G.geohash_sql("lat", "lon", 4)
-GH4_TILE = G.geohash_sql("tile_lat", "tile_lon", 4)
 PTS = G.derived_points_sql("events", "event_id")
 TILES = G.derived_tiles_sql("supplier", "s_suppkey")
+# staged (linear-size) geohash encodes — identical output to the
+# single-expression form, far cheaper to parse/codegen
+PTS_CELL6 = G.geohash_select_sql(PTS, "lat", "lon", 6, ["point_id"], out="cell")
+PTS_CELL4 = G.geohash_select_sql(PTS, "lat", "lon", 4, ["point_id"], out="cell4")
+TILES_CELL4 = G.geohash_select_sql(
+    TILES, "tile_lat", "tile_lon", 4, ["media_ref"], out="cell4"
+)
 
 
 def load_views(spark: SparkSession, sf_dir: str) -> None:
@@ -85,15 +89,15 @@ WHERE rn <= 3
 # ---------------------------------------------------------------- DGGS (shared SQL)
 Q03 = _shared(
     f"""
-WITH pts AS ({PTS})
-SELECT {GH6} AS cell, count(*) AS n_points
-FROM pts GROUP BY 1
+WITH cells AS ({PTS_CELL6})
+SELECT cell, count(*) AS n_points
+FROM cells GROUP BY 1
 """
 )
 
 Q04 = _shared(
     f"""
-WITH pts AS ({PTS}), cells AS (SELECT {GH6} AS cell FROM pts)
+WITH cells AS ({PTS_CELL6})
 SELECT substring(cell, 1, 3) AS parent_cell,
        count(*) AS n_points,
        count(distinct cell) AS n_cells
@@ -103,9 +107,8 @@ FROM cells GROUP BY 1
 
 Q05 = _shared(
     f"""
-WITH pts AS ({PTS}), tiles AS ({TILES}),
-pc AS (SELECT point_id, {GH4} AS cell4 FROM pts),
-tc AS (SELECT DISTINCT media_ref, {GH4_TILE} AS cell4 FROM tiles)
+WITH pc AS ({PTS_CELL4}),
+tc AS (SELECT DISTINCT media_ref, cell4 FROM ({TILES_CELL4}) __t)
 SELECT pc.point_id, tc.media_ref
 FROM pc JOIN tc ON pc.cell4 = tc.cell4
 """

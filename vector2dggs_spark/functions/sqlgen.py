@@ -80,6 +80,54 @@ def geohash_sql(lat: str, lon: str, precision: int) -> str:
     return "(" + " || ".join(chars) + ")"
 
 
+def geohash_select_sql(
+    source_sql: str,
+    lat: str,
+    lon: str,
+    precision: int,
+    keep_cols: list[str],
+    out: str = "cell",
+) -> str:
+    """Linear-size geohash encode via staged lateral column aliases
+    (supported by Spark SQL and DuckDB alike).
+
+    The single-expression ``geohash_sql`` doubles in textual size per
+    bit-spread step (Catalyst parse + codegen cost grows with it); the
+    staged form keeps the plan small — the engine's preferred shape for
+    hot native point indexing."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total - lon_bits
+    stages = [
+        f"{quantize_sql(lon, 180.0, 360.0, lon_bits)} AS __ln",
+        f"{quantize_sql(lat, 90.0, 180.0, lat_bits)} AS __lt",
+    ]
+    ln, lt = "__ln", "__lt"
+    for idx, (shift, mask) in enumerate(_SPREAD):
+        if shift < 2 * lon_bits:
+            stages.append(f"(({ln} | ({ln} << {shift})) & {mask}) AS __ln{idx}")
+            ln = f"__ln{idx}"
+        if shift < 2 * lat_bits:
+            stages.append(f"(({lt} | ({lt} << {shift})) & {mask}) AS __lt{idx}")
+            lt = f"__lt{idx}"
+    if lon_bits == lat_bits:
+        stages.append(f"((({ln}) << 1) | ({lt})) AS __code")
+    else:
+        stages.append(f"(({ln}) | (({lt}) << 1)) AS __code")
+    chars = []
+    for i in range(precision):
+        shift = 5 * (precision - 1 - i)
+        chars.append(
+            f"substring('{ALPHABET}', cast((__code >> {shift}) & 31 as int) + 1, 1)"
+        )
+    keep = ", ".join(keep_cols)
+    keep_prefix = f"{keep}, " if keep_cols else ""
+    return (
+        f"SELECT {keep_prefix}{' || '.join(chars)} AS {out} FROM ("
+        f"SELECT {keep_prefix}{', '.join(stages)} FROM ({source_sql}) __src) __g"
+    )
+
+
 def geohash_col(lat: str, lon: str, precision: int) -> Column:
     """Native Spark Column for geohash encode — WholeStageCodegen, no UDF.
 

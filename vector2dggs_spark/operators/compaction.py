@@ -35,14 +35,29 @@ def compact_cells_df(
     cell_col: str,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Compaction over the (id, cell, ...) frame; schema-preserving."""
+    """Compaction over the (id, cell, ...) frame; schema-preserving.
+
+    Fast path: a feature with fewer cells than one complete sibling set
+    (``backend.min_siblings``) can never compact — those rows bypass the
+    Python stage entirely via a JVM-side window count, so at web scale
+    (points dominate: 1 cell/feature) the grouped-map UDF only ever sees
+    the small fraction of features with dense cell sets."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
     schema = cells.schema
     col_order = [f.name for f in schema.fields]
+    min_sib = getattr(backend, "min_siblings", 2)
+
+    counted = cells.withColumn("__n", F.count("*").over(W.partitionBy(id_col)))
+    small = counted.where(F.col("__n") < min_sib).drop("__n")
+    big = counted.where(F.col("__n") >= min_sib).drop("__n")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         return compact_group(pdf, backend, res, parent_res, cell_col, id_col, col_order)
 
-    return cells.groupBy(id_col).applyInPandas(run, schema=schema)
+    compacted = big.groupBy(id_col).applyInPandas(run, schema=schema)
+    return compacted.unionByName(small)
 
 
 def compact_group(

@@ -53,7 +53,50 @@ def prepare(
     return geoms.mapInPandas(run, schema=PREPARED_SCHEMA)
 
 
+_POINT_RE = r"^\s*POINT\s*\(\s*(-?[0-9.eE+]+)\s+(-?[0-9.eE+]+)\s*\)\s*$"
+
+
+def _prepare_points_fast(pdf: pd.DataFrame):
+    """Vectorized fast path for plain POINT WKT (the dominant geometry
+    class at web scale): regex-extract coords, build fixed-width WKB with
+    one numpy pass — no per-row parser, no katana (points never bisect).
+    Returns (fast_frame_or_None, remainder_pdf)."""
+    wkt_s = pdf["wkt"].astype("string")
+    m = wkt_s.str.extract(_POINT_RE)
+    hit = m[0].notna() & m[1].notna()
+    if not hit.any():
+        return None, pdf
+    sub = pdf[hit]
+    lon = m.loc[hit, 0].astype(np.float64).to_numpy()
+    lat = m.loc[hit, 1].astype(np.float64).to_numpy()
+    n = len(lon)
+    buf = np.zeros((n, 21), dtype=np.uint8)
+    buf[:, 0] = 1
+    buf[:, 1] = 1
+    buf[:, 5:] = np.stack([lon, lat], 1).astype("<f8").view(np.uint8).reshape(n, 16)
+    clat = np.clip(lat, -90.0, 89.999999)
+    clon = np.clip(lon, -180.0, 179.999999)
+    fast = pd.DataFrame(
+        {
+            "doc_id": sub["doc_id"].to_numpy(),
+            "part_uid": sub["doc_id"].astype(str)
+            + "#"
+            + sub["span_idx"].astype(str)
+            + "#0#0",
+            "geom_type": "Point",
+            "wkb": list(buf.tobytes()[i * 21 : (i + 1) * 21] for i in range(n)),
+            "minx": lon,
+            "miny": lat,
+            "maxx": lon,
+            "maxy": lat,
+            "sort_key": _gh.encode(clat, clon, SORT_KEY_PRECISION),
+        }
+    )
+    return fast, pdf[~hit]
+
+
 def _prepare_batch(pdf: pd.DataFrame, geodesic: bool, thr: float | None):
+    fast, pdf = _prepare_points_fast(pdf)
     doc_ids: list[str] = []
     uids: list[str] = []
     gtypes: list[str] = []
@@ -83,12 +126,12 @@ def _prepare_batch(pdf: pd.DataFrame, geodesic: bool, thr: float | None):
                 wkbs.append(gw.to_wkb(piece))
                 boxes.append(gk.geom_bbox(piece))
     if not doc_ids:
-        return None
+        return fast
     bb = np.array(boxes, dtype=np.float64).reshape(-1, 4)
     cx = np.clip((bb[:, 0] + bb[:, 2]) / 2.0, -180.0, 179.999999)
     cy = np.clip((bb[:, 1] + bb[:, 3]) / 2.0, -90.0, 89.999999)
     sort_key = _gh.encode(cy, cx, SORT_KEY_PRECISION)
-    return pd.DataFrame(
+    slow = pd.DataFrame(
         {
             "doc_id": doc_ids,
             "part_uid": uids,
@@ -101,3 +144,6 @@ def _prepare_batch(pdf: pd.DataFrame, geodesic: bool, thr: float | None):
             "sort_key": sort_key,
         }
     )
+    if fast is None:
+        return slow
+    return pd.concat([fast, slow], ignore_index=True)
