@@ -1,0 +1,113 @@
+"""Scaling-efficiency evidence: the identical job at local[8] vs
+local[32] on the same input (BASELINE.md protocol — the sandbox proxy
+for the north rule's N vs 4N executors).
+
+Runs each parallelism level in a fresh subprocess (fresh JVM), warms the
+JVM/codegen with an untimed pass, then times:
+
+  A. native point index: derived points from ``spark.range`` -> geohash
+     res 9 cells -> parent rollup (pure WholeStageCodegen — JVM path)
+  B. interleaved-documents pipeline at 20k docs (Arrow-UDF path:
+     parse/explode/katana/polyfill)
+
+Writes BENCH/BASELINE.md with throughputs and efficiency = speedup / 4.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+N_POINTS = int(os.environ.get("SCALING_POINTS", "5000000"))
+N_DOCS = int(os.environ.get("SCALING_DOCS", "20000"))
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["REPO"])
+cpus = int(sys.argv[1]); n_points = int(sys.argv[2]); n_docs = int(sys.argv[3])
+from vector2dggs_spark.session import get_spark
+from vector2dggs_spark.functions import sqlgen as G
+from pyspark.sql import functions as F
+spark = get_spark(cores=cpus, app=f"scaling{cpus}")
+spark.sparkContext.setLogLevel("ERROR")
+
+src = (f"SELECT id AS point_id, "
+       f"({G.dlit(-44.4)} + (id % 700) * {G.dlit(0.001)}) AS lat, "
+       f"({G.dlit(-176.6)} + ((id * 7) % 400) * {G.dlit(0.001)}) AS lon "
+       f"FROM range(0, {n_points})")
+q = (f"SELECT substring(cell, 1, 3) AS parent, count(*) AS n FROM ("
+     + G.geohash_select_sql(src, "lat", "lon", 9, ["point_id"], out="cell")
+     + ") c GROUP BY 1")
+# warm-up (codegen compile, JVM JIT) — untimed, smaller range
+warm = q.replace(str(n_points), "100000")
+spark.sql(warm).collect()
+t0 = time.perf_counter(); spark.sql(q).collect(); tA = time.perf_counter() - t0
+
+import bench
+docs_path = bench.ensure_bench_docs(spark, n_docs)
+docs = spark.read.parquet(docs_path)
+from vector2dggs_spark import index
+# warm-up of the UDF path
+index(spark, docs.limit(500), dggs="geohash", resolution=6, parent_res=3).cells.count()
+t0 = time.perf_counter()
+r = index(spark, docs, dggs="geohash", resolution=6, parent_res=3)
+cells = r.cells.count()
+tB = time.perf_counter() - t0
+print("RESULT" + json.dumps({"cpus": cpus, "tA": tA, "points": n_points,
+                             "tB": tB, "cells": cells}))
+spark.stop()
+"""
+
+
+def run(cpus: int) -> dict:
+    env = dict(os.environ, REPO=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, str(cpus), str(N_POINTS), str(N_DOCS)],
+        capture_output=True, text=True, env=env, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT"):
+            return json.loads(line[len("RESULT"):])
+    raise RuntimeError(f"worker failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+
+
+def main():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    results = {c: run(c) for c in (8, 32)}
+    thrA = {c: r["points"] / r["tA"] for c, r in results.items()}
+    thrB = {c: r["cells"] / r["tB"] for c, r in results.items()}
+    effA = (thrA[32] / thrA[8]) / 4.0
+    effB = (thrB[32] / thrB[8]) / 4.0
+    os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+    md = f"""# BENCH/BASELINE — scaling efficiency (local[8] vs local[32])
+
+Protocol (BASELINE.md): identical job, identical input, fresh JVM per
+parallelism level, untimed warm-up pass (codegen/JIT), only the master
+differs.  Efficiency = (throughput@32 / throughput@8) / 4; target >= 0.8
+(BASELINE.json north rule, sandbox proxy for N vs 4N executors).
+
+| job | local[8] | local[32] | speedup | efficiency |
+|---|---|---|---|---|
+| A. native point index (geohash r9, {N_POINTS:,} pts, WholeStageCodegen) | {thrA[8]:,.0f} pts/s ({results[8]['tA']:.2f}s) | {thrA[32]:,.0f} pts/s ({results[32]['tA']:.2f}s) | {thrA[32]/thrA[8]:.2f}x | **{effA:.2f}** |
+| B. documents pipeline ({N_DOCS:,} interleaved docs, Arrow-UDF path) | {thrB[8]:,.0f} cells/s ({results[8]['tB']:.2f}s) | {thrB[32]:,.0f} cells/s ({results[32]['tB']:.2f}s) | {thrB[32]/thrB[8]:.2f}x | **{effB:.2f}** |
+
+Raw: {json.dumps(results)}
+
+Notes
+- Job A is the hot web-scale path (point documents): pure JVM columnar
+  expressions, no Python in the loop — scales with cores until the
+  single shuffle's reduce side saturates.
+- Job B exercises the Arrow-UDF stages (WKT parse, katana, polyfill);
+  Python worker processes scale per-core.
+- local[N] shares one JVM + page cache, so this is a conservative proxy:
+  a real 4x executor scale-out adds memory bandwidth with the cores.
+"""
+    with open(os.path.join(repo, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({"effA": effA, "effB": effB}))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,13 @@ class Backend:
         w = self.cell_width_deg(parent_res)
         return w * w
 
+    def ring_guarantee_deg(self, res: int, r: int) -> float:
+        """Lower bound on the distance to any point outside grid-disk(r)
+        of the cell containing a query point.  Conservative default for
+        hex-ish grids; square-grid backends override with the tight
+        bound (kNN termination, SURVEY.md J3)."""
+        return max(r - 1, 0) * 0.8 * self.cell_width_deg(res)
+
 
 class GeohashBackend(Backend):
     name = "geohash"
@@ -97,6 +104,12 @@ class GeohashBackend(Backend):
 
     def cell_bbox(self, cells, res):
         return _gh.decode_bbox(cells, res)
+
+    def ring_guarantee_deg(self, res: int, r: int) -> float:
+        """Tight square-grid bound: cells Chebyshev-distance > r are
+        separated by at least r axis cell-widths."""
+        dlat, dlon = _gh.cell_dims(res)
+        return r * min(dlat, dlon)
 
     def cell_boundary(self, cells, res):
         """(n, m, 2) [lon, lat] closed rings — geohash cells are lat/lon

@@ -143,3 +143,7 @@ class H3Backend:
     def default_cut_threshold_deg2(self, parent_res: int) -> float:
         w = self.cell_width_deg(max(parent_res, 1)) * 3.0
         return w * w
+
+    def ring_guarantee_deg(self, res: int, r: int) -> float:
+        """Conservative hex-grid kNN termination bound (see Backend)."""
+        return max(r - 1, 0) * 0.8 * self.cell_width_deg(res)

@@ -346,6 +346,25 @@ def _q_knn_h3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "target_id", "dist_sq", "rank")
 
 
+from vector2dggs_spark.functions import textops as X
+
+Q19 = _dialects(X.simhash_pairs_sql("spark"), X.simhash_pairs_sql("duckdb"))
+Q20 = _dialects(
+    X.embedding_near_dup_sql("spark"), X.embedding_near_dup_sql("duckdb")
+)
+Q21 = _dialects(X.ann_ivf_sql("spark"), X.ann_ivf_sql("duckdb"))
+
+
+def _q_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: media spans -> decode (stub) -> frame
+    features (rows-only; the decode itself is container-stubbed)."""
+    from vector2dggs_spark.operators.media import decode_media, extract_frame_features
+    from vector2dggs_spark.sources.documents import documents_df, extract_media
+
+    docs = documents_df(spark, 400, seed=42)
+    return extract_frame_features(decode_media(extract_media(docs)))
+
+
 QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q01_pricing_summary": Q01,
     "q02_top_orders_per_customer": Q02,
@@ -365,6 +384,10 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q16_pipeline_rhp": (_q_rhp, None),
     "q17_knn_h3": (_q_knn_h3, _KNN_ORACLE),
     "q18_pipeline_h3": (_q_h3_pipeline, None),
+    "q19_simhash_pairs": Q19,
+    "q20_embedding_near_dup": Q20,
+    "q21_ann_ivf_bucketed": Q21,
+    "q22_media_decode_features": (_q_media, None),
 }
 
 

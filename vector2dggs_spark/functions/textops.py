@@ -1,0 +1,126 @@
+"""Generated cross-engine SQL for text/embedding dedup operators.
+
+Same philosophy as sqlgen.geohash_select_sql: one semantic definition,
+two dialect renderings (Spark SQL / DuckDB) that agree value-for-value —
+md5-based hashing for string-exact agreement, sequential double folds
+for float-exact agreement.
+"""
+from __future__ import annotations
+
+from vector2dggs_spark.functions.sqlgen import dlit
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8 bits per band
+
+
+def _hash_int_expr(h: str, dialect: str) -> str:
+    """First 8 hex chars of an md5 string -> BIGINT, per dialect."""
+    if dialect == "spark":
+        return f"cast(conv(substring({h}, 1, 8), 16, 10) as bigint)"
+    return f"('0x' || substr({h}, 1, 8))::BIGINT"
+
+
+def simhash_sql(dialect: str, table: str = "documents") -> str:
+    """(doc_id, simhash) — 32-bit SimHash over word tokens.
+
+    bit b = majority vote of token-hash bit b across the document."""
+    if dialect == "spark":
+        toks = "split(text, ' ')"
+        hashes = f"transform({toks}, t -> {_hash_int_expr('md5(t)', 'spark')})"
+        n = "size(hs)"
+        bit_counts = ", ".join(
+            f"size(filter(hs, v -> ((v >> {b}) & 1) = 1)) AS c{b}"
+            for b in range(SIMHASH_BITS)
+        )
+    else:
+        toks = "string_split(text, ' ')"
+        hashes = f"[{_hash_int_expr('md5(t)', 'duckdb')} for t in {toks}]"
+        n = "len(hs)"
+        bit_counts = ", ".join(
+            f"len(list_filter(hs, v -> ((v >> {b}) & 1) = 1)) AS c{b}"
+            for b in range(SIMHASH_BITS)
+        )
+    bits = " + ".join(
+        f"(CASE WHEN 2 * c{b} >= n THEN cast({1 << b} as bigint) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH h AS (SELECT doc_id, {hashes} AS hs FROM {table}),
+c AS (SELECT doc_id, cast({n} as bigint) AS n, {bit_counts} FROM h)
+SELECT doc_id, ({bits}) AS simhash FROM c
+"""
+
+
+def simhash_pairs_sql(dialect: str, table: str = "documents") -> str:
+    """Near-dup candidate pairs: documents sharing any 8-bit SimHash band
+    (standard SimHash LSH banding)."""
+    base = simhash_sql(dialect, table)
+    bands = ", ".join(
+        f"((simhash >> {8 * i}) & 255) AS b{i}" for i in range(SIMHASH_BANDS)
+    )
+    joins = " OR ".join(f"a.b{i} = c.b{i}" for i in range(SIMHASH_BANDS))
+    return f"""
+WITH sh AS ({base}),
+bands AS (SELECT doc_id, simhash, {bands} FROM sh)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+FROM bands a JOIN bands c ON a.doc_id < c.doc_id AND ({joins})
+GROUP BY 1, 2
+"""
+
+
+def embedding_near_dup_sql(dialect: str, threshold: float = 0.38,
+                           table: str = "embeddings") -> str:
+    """All pairs with cosine similarity >= threshold (exact brute force —
+    the correctness baseline for near-dup at embedding level)."""
+    if dialect == "spark":
+        to_d = "transform(embedding, x -> cast(x as double))"
+        dot = (
+            "aggregate(zip_with(a.de, c.de, (x, y) -> x * y), cast(0.0 as double), (s, v) -> s + v)"
+        )
+        nrm = "aggregate(transform({v}, x -> x * x), cast(0.0 as double), (s, v) -> s + v)"
+    else:
+        to_d = "embedding::DOUBLE[]"
+        dot = "list_reduce([a.de[i] * c.de[i] for i in range(1, len(a.de) + 1)], (s, v) -> s + v)"
+        nrm = "list_reduce([{v}[i] * {v}[i] for i in range(1, len({v}) + 1)], (s, v) -> s + v)"
+    return f"""
+WITH d AS (SELECT vec_id, {to_d} AS de FROM {table}),
+p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+             {dot} / (sqrt({nrm.format(v='a.de')}) * sqrt({nrm.format(v='c.de')})) AS cs
+      FROM d a JOIN d c ON a.vec_id < c.vec_id)
+SELECT vec_a, vec_b, round(cs, 6) AS cos_sim FROM p WHERE cs >= {dlit(threshold)}
+"""
+
+
+def ann_ivf_sql(dialect: str, k: int = 5, table: str = "embeddings") -> str:
+    """IVF-style bucketed ANN: coarse bucket = sign bits of the first 8
+    dims; search only within the query's bucket (the scale path — brute
+    force over one bucket instead of the corpus).  Query = vec_id 0..9;
+    returns (query_id, vec_id, rnk) per bucket-restricted top-k."""
+    if dialect == "spark":
+        to_d = "transform(embedding, x -> cast(x as double))"
+        bucket = (
+            "aggregate(sequence(0, 7), 0, (s, i) -> s + "
+            "(CASE WHEN element_at(de, i + 1) >= cast(0.0 as double) THEN cast(pow(2, i) as int) ELSE 0 END))"
+        )
+        dot = "aggregate(zip_with(q.de, d.de, (x, y) -> x * y), cast(0.0 as double), (s, v) -> s + v)"
+        nrm = "aggregate(transform({v}, x -> x * x), cast(0.0 as double), (s, v) -> s + v)"
+    else:
+        to_d = "embedding::DOUBLE[]"
+        bucket = (
+            "list_reduce([CASE WHEN de[i + 1] >= 0.0 THEN cast(2 ** i as int) ELSE 0 END "
+            "for i in range(0, 8)], (s, v) -> s + v)"
+        )
+        dot = "list_reduce([q.de[i] * d.de[i] for i in range(1, len(q.de) + 1)], (s, v) -> s + v)"
+        nrm = "list_reduce([{v}[i] * {v}[i] for i in range(1, len({v}) + 1)], (s, v) -> s + v)"
+    return f"""
+WITH d AS (SELECT vec_id, {to_d} AS de, cast(({bucket}) as int) AS bucket FROM {table}),
+q AS (SELECT vec_id AS query_id, de, bucket FROM d WHERE vec_id < 10),
+s AS (SELECT q.query_id, d.vec_id,
+             {dot} / (sqrt({nrm.format(v='q.de')}) * sqrt({nrm.format(v='d.de')})) AS cs
+      FROM q JOIN d ON q.bucket = d.bucket AND q.query_id != d.vec_id)
+SELECT query_id, vec_id, rnk FROM (
+  SELECT query_id, vec_id,
+         cast(row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) as int) AS rnk
+  FROM s) r
+WHERE rnk <= {k}
+"""

@@ -115,11 +115,11 @@ def knn(
     ``queries``/``targets``: (id, lat, lon).  Both sides are indexed to
     cells at ``res``; ring r joins each pending query's grid-disk(r)
     against the target cells; a query finishes when its k-th candidate
-    distance is covered by the ring guarantee radius (any target outside
-    disk(r) is at planar distance ≥ (r−1)·0.8·cell_width — conservative
-    for square AND hex grids, so the same exactness proof holds for
-    geohash, rHP and H3 backends).  Driver loops over doubling ring
-    radii; all data movement is joins — no collected rows.
+    distance is covered by the backend's ring guarantee radius
+    (``Backend.ring_guarantee_deg``: tight Chebyshev bound for the
+    square geohash grid, conservative (r−1)·0.8·width for hex grids), so
+    the result is exact for every backend.  Driver loops over doubling
+    ring radii; all data movement is joins — no collected rows.
 
     Returns (query_id, target_id, dist_sq, rank) with rank 1..k by
     (dist_sq, target_id) — deterministic under ties.
@@ -136,7 +136,6 @@ def knn(
         F.col("lon").alias("__tlon"),
     ).withColumn("__cell", cell_udf("__tlat", "__tlon")).cache()
 
-    min_dim = backend.cell_width_deg(res)
     pending = q.cache()
     found: DataFrame | None = None
     r = 1
@@ -159,7 +158,7 @@ def knn(
                 W.partitionBy("__qid").orderBy(F.col("dist_sq"), F.col("__tid"))
             ),
         ).where(F.col("rank") <= k)
-        guarantee = (max(r - 1, 0) * 0.8 * min_dim) ** 2
+        guarantee = backend.ring_guarantee_deg(res, r) ** 2
         stats = ranked.groupBy("__qid").agg(
             F.count("*").alias("n"), F.max("dist_sq").alias("kth")
         )
