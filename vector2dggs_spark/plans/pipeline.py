@@ -95,12 +95,21 @@ def index(
 
     cells = index_cells(prepared, backend, resolution)
 
-    # cross-part line dedup: (cell, feature) keep-first (O5). Poly/point
-    # rows keep duplicates, exactly like the reference (only linestring
-    # sub-results are deduped — h3vectorindexer.py:39).
-    lines = cells.where(F.col("geom_type") == "LineString").dropDuplicates(["doc_id", "cell"])
-    others = cells.where(F.col("geom_type") != "LineString")
-    cells = others.unionByName(lines)
+    # cross-part line dedup: (cell, feature) keep-first (O5).  Poly/point
+    # rows keep duplicates across parts, exactly like the reference (only
+    # linestring sub-results are deduped — h3vectorindexer.py:39).
+    # Implemented as ONE dropDuplicates with a conditional key instead of
+    # filter+union, which would recompute the whole upstream (scan + UDF
+    # stages) twice — a 2x waste at scale.  Within a part, cells are
+    # already unique for every geometry type, so keying non-line rows by
+    # part_uid makes the dedup a no-op for them while line rows (keyed by
+    # a constant) dedup across all their parts.
+    dedup_key = F.when(F.col("geom_type") == "LineString", F.lit("__line__")).otherwise(
+        F.col("part_uid")
+    )
+    cells = cells.withColumn("__dk", dedup_key).dropDuplicates(
+        ["doc_id", "__dk", "cell"]
+    ).drop("__dk")
 
     cell_col = backend.col_name(resolution)
     parent_col = backend.col_name(parent_res)
