@@ -3,12 +3,14 @@ local[32] on the same input (BASELINE.md protocol — the sandbox proxy
 for the north rule's N vs 4N executors).
 
 Runs each parallelism level in a fresh subprocess (fresh JVM), warms the
-JVM/codegen with an untimed pass, then times:
+JVM/codegen/Python workers with an untimed pass, then times:
 
   A. native point index: derived points from ``spark.range`` -> geohash
-     res 9 cells -> parent rollup (pure WholeStageCodegen — JVM path)
-  B. interleaved-documents pipeline at 20k docs (Arrow-UDF path:
-     parse/explode/katana/polyfill)
+     res 9 cells -> parent rollup (pure WholeStageCodegen — the hot
+     web-scale JVM path)
+  B. interleaved point-documents pipeline: extract spans -> prepare ->
+     index -> parent -> dedup (the Arrow-UDF path at web-scale shape,
+     point documents dominating)
 
 Writes BENCH/BASELINE.md with throughputs and efficiency = speedup / 4.
 """
@@ -18,10 +20,9 @@ import json
 import os
 import subprocess
 import sys
-import time
 
-N_POINTS = int(os.environ.get("SCALING_POINTS", "5000000"))
-N_DOCS = int(os.environ.get("SCALING_DOCS", "20000"))
+N_POINTS = int(os.environ.get("SCALING_POINTS", "40000000"))
+N_DOCS = int(os.environ.get("SCALING_DOCS", "400000"))
 
 WORKER = r"""
 import json, os, sys, time
@@ -33,27 +34,29 @@ from pyspark.sql import functions as F
 spark = get_spark(cores=cpus, app=f"scaling{cpus}")
 spark.sparkContext.setLogLevel("ERROR")
 
-src = (f"SELECT id AS point_id, "
-       f"({G.dlit(-44.4)} + (id % 700) * {G.dlit(0.001)}) AS lat, "
-       f"({G.dlit(-176.6)} + ((id * 7) % 400) * {G.dlit(0.001)}) AS lon "
-       f"FROM range(0, {n_points})")
-q = (f"SELECT substring(cell, 1, 3) AS parent, count(*) AS n FROM ("
-     + G.geohash_select_sql(src, "lat", "lon", 9, ["point_id"], out="cell")
-     + ") c GROUP BY 1")
-# warm-up (codegen compile, JVM JIT) — untimed, smaller range
-warm = q.replace(str(n_points), "100000")
-spark.sql(warm).collect()
-t0 = time.perf_counter(); spark.sql(q).collect(); tA = time.perf_counter() - t0
+def job_a(n):
+    src = (f"SELECT id AS point_id, "
+           f"({G.dlit(-44.4)} + (id % 700) * {G.dlit(0.001)}) AS lat, "
+           f"({G.dlit(-176.6)} + ((id * 7) % 400) * {G.dlit(0.001)}) AS lon "
+           f"FROM range(0, {n})")
+    q = ("SELECT substring(cell, 1, 3) AS parent, count(*) AS n FROM ("
+         + G.geohash_select_sql(src, "lat", "lon", 9, ["point_id"], out="cell")
+         + ") c GROUP BY 1")
+    return spark.sql(q).agg(F.sum("n")).collect()[0][0]
 
-import bench
-docs_path = bench.ensure_bench_docs(spark, n_docs)
+job_a(100000)  # warm: codegen + JIT
+t0 = time.perf_counter(); assert job_a(n_points) == n_points; tA = time.perf_counter() - t0
+
+# job B input: identical parquet for every parallelism level
+docs_path = f"/tmp/v2dggs_scaling/docs_native_{n_docs}.parquet"
+if not os.path.exists(docs_path + "/_SUCCESS"):
+    from vector2dggs_spark.sources.documents import synthesize_documents_native
+    synthesize_documents_native(spark, n_docs).repartition(64).write.mode("overwrite").parquet(docs_path)
 docs = spark.read.parquet(docs_path)
 from vector2dggs_spark import index
-# warm-up of the UDF path
-index(spark, docs.limit(500), dggs="geohash", resolution=6, parent_res=3).cells.count()
+index(spark, docs.limit(2000), dggs="geohash", resolution=9, parent_res=3).cells.count()  # warm UDF workers
 t0 = time.perf_counter()
-r = index(spark, docs, dggs="geohash", resolution=6, parent_res=3)
-cells = r.cells.count()
+cells = index(spark, docs, dggs="geohash", resolution=9, parent_res=3).cells.count()
 tB = time.perf_counter() - t0
 print("RESULT" + json.dumps({"cpus": cpus, "tA": tA, "points": n_points,
                              "tB": tB, "cells": cells}))
@@ -84,29 +87,32 @@ def main():
     md = f"""# BENCH/BASELINE — scaling efficiency (local[8] vs local[32])
 
 Protocol (BASELINE.md): identical job, identical input, fresh JVM per
-parallelism level, untimed warm-up pass (codegen/JIT), only the master
-differs.  Efficiency = (throughput@32 / throughput@8) / 4; target >= 0.8
-(BASELINE.json north rule, sandbox proxy for N vs 4N executors).
+parallelism level, untimed warm-up pass (codegen/JIT/Python workers),
+only the master differs.  Efficiency = (throughput@32 / throughput@8)/4;
+target >= 0.8 (BASELINE.json north rule, sandbox proxy for N vs 4N
+executors).
 
 | job | local[8] | local[32] | speedup | efficiency |
 |---|---|---|---|---|
 | A. native point index (geohash r9, {N_POINTS:,} pts, WholeStageCodegen) | {thrA[8]:,.0f} pts/s ({results[8]['tA']:.2f}s) | {thrA[32]:,.0f} pts/s ({results[32]['tA']:.2f}s) | {thrA[32]/thrA[8]:.2f}x | **{effA:.2f}** |
-| B. documents pipeline ({N_DOCS:,} interleaved docs, Arrow-UDF path) | {thrB[8]:,.0f} cells/s ({results[8]['tB']:.2f}s) | {thrB[32]:,.0f} cells/s ({results[32]['tB']:.2f}s) | {thrB[32]/thrB[8]:.2f}x | **{effB:.2f}** |
+| B. point-documents pipeline ({N_DOCS:,} interleaved docs, r9, Arrow-UDF path) | {thrB[8]:,.0f} cells/s ({results[8]['tB']:.2f}s) | {thrB[32]:,.0f} cells/s ({results[32]['tB']:.2f}s) | {thrB[32]/thrB[8]:.2f}x | **{effB:.2f}** |
 
 Raw: {json.dumps(results)}
 
 Notes
-- Job A is the hot web-scale path (point documents): pure JVM columnar
-  expressions, no Python in the loop — scales with cores until the
-  single shuffle's reduce side saturates.
-- Job B exercises the Arrow-UDF stages (WKT parse, katana, polyfill);
-  Python worker processes scale per-core.
-- local[N] shares one JVM + page cache, so this is a conservative proxy:
-  a real 4x executor scale-out adds memory bandwidth with the cores.
+- Job A is the dominant web-scale path (point documents as native
+  columnar expressions): zero Python, one shuffle with map-side partial
+  aggregation.
+- Job B covers the full engine dataflow (span explode -> prepare
+  mapInPandas with vectorized POINT fast path -> index mapInPandas ->
+  native parent -> single-pass dedup).
+- local[N] shares one JVM, page cache and memory bus, so this is a
+  conservative proxy for multi-executor scale-out.
 """
     with open(os.path.join(repo, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"effA": effA, "effB": effB}))
+    print(json.dumps({"effA": effA, "effB": effB,
+                      "thrA": thrA, "thrB": thrB}))
 
 
 if __name__ == "__main__":

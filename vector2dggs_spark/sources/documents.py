@@ -179,6 +179,49 @@ def documents_df(
     return spark.createDataFrame(pdf, schema=DOCUMENTS_SCHEMA)
 
 
+def synthesize_documents_native(spark: SparkSession, n_docs: int) -> DataFrame:
+    """Large-scale interleaved documents table generated ENTIRELY with
+    native Spark expressions (no Python row loop) — the web-scale shape
+    where point documents dominate.  Deterministic in ``doc_id``.
+
+    Used by the scaling benches; the pandas synthesizer above provides
+    the mixed-geometry fixture corpus for correctness tests."""
+    lon0, lat0, lon1, lat1 = WINDOW
+    df = spark.range(n_docs).withColumnRenamed("id", "i")
+    lat = F.lit(lat0) + (F.col("i") % 700) * F.lit((lat1 - lat0) / 700.0)
+    lon = F.lit(lon0) + ((F.col("i") * 7) % 400) * F.lit((lon1 - lon0) / 400.0)
+    wkt = F.concat(F.lit("POINT ("), lon.cast("string"), F.lit(" "), lat.cast("string"), F.lit(")"))
+    tile = F.concat(
+        F.lit("tile://8/"),
+        ((F.col("i") * 13) % 256).cast("string"),
+        F.lit("/"),
+        ((F.col("i") * 29) % 256).cast("string"),
+    )
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.concat(F.lit("doc body "), F.col("i").cast("string")).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        ),
+        F.struct(
+            F.lit("geometry").alias("kind"),
+            wkt.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(1).alias("offset"),
+        ),
+        F.struct(
+            F.lit("media").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            tile.alias("media_ref"),
+            F.lit(2).alias("offset"),
+        ),
+    )
+    return df.select(
+        F.format_string("doc%08d", F.col("i")).alias("doc_id"), spans.alias("spans")
+    )
+
+
 # ------------------------------------------------------------ extraction
 def extract_geometries(docs: DataFrame) -> DataFrame:
     """documents -> (doc_id, span_idx, wkt): one row per geometry span.
