@@ -1,0 +1,96 @@
+"""S2-style backend: structural invariants of the published construction."""
+import numpy as np
+import pytest
+
+from vector2dggs_spark.dggs import get_backend
+from vector2dggs_spark.dggs import s2 as S
+
+
+def test_face_cell_tokens():
+    # canonical face-cell tokens (bit layout: face<<61 | 1<<60)
+    pts = [(0.0, 0.0, "1"), (0.0, 90.0, "3"), (90.0, 0.0, "5"),
+           (0.0, 180.0, "7"), (0.0, -90.0, "9"), (-90.0, 0.0, "b")]
+    for lat, lon, want in pts:
+        assert S.to_token(S.latlng_to_cell([lat], [lon], 0))[0] == want
+
+
+def test_token_roundtrip_and_levels():
+    rng = np.random.default_rng(2)
+    lat = rng.uniform(-85, 85, 500)
+    lon = rng.uniform(-180, 180, 500)
+    for lv in (0, 5, 13, 22, 30):
+        cells = S.latlng_to_cell(lat, lon, lv)
+        assert np.all(S.get_level(cells) == lv)
+        toks = S.to_token(cells)
+        assert np.array_equal(S.from_token(toks), cells)
+        clat, clon = S.cell_to_latlng(cells)
+        assert np.array_equal(S.latlng_to_cell(clat, clon, lv), cells)
+
+
+def test_parent_hierarchy_exact():
+    rng = np.random.default_rng(3)
+    lat = rng.uniform(-85, 85, 500)
+    lon = rng.uniform(-180, 180, 500)
+    fine = S.latlng_to_cell(lat, lon, 14)
+    # quadtree nesting is exact in S2 (cells nest perfectly, unlike H3)
+    for lv in (13, 8, 3, 0):
+        assert np.array_equal(S.parent(fine, lv), S.latlng_to_cell(lat, lon, lv))
+
+
+def test_children_partition_and_compact():
+    c = int(S.latlng_to_cell([-44.0], [-176.4], 8)[0])
+    kids = S.children(c, 10)
+    assert len(kids) == 16
+    kv = np.array(kids, dtype=np.uint64)
+    assert np.all(S.get_level(kv) == 10)
+    assert np.all(S.parent(kv, 8) == c)
+    # children tile the parent: their centers encode back to themselves
+    lat, lon = S.cell_to_latlng(kv)
+    assert np.array_equal(S.latlng_to_cell(lat, lon, 10), kv)
+    assert S.compact(set(kids)) == {c}
+    one = S.children(c, 9)
+    assert S.compact(set(one[:-1])) == set(one[:-1])
+
+
+def test_hilbert_adjacency():
+    """Consecutive position ids at a level are spatially adjacent cells
+    (the defining Hilbert-curve property)."""
+    c = int(S.latlng_to_cell([10.0], [10.0], 12)[0])
+    lsb = 1 << (2 * (30 - 12))
+    run = np.array([c + q * (2 * lsb) for q in range(16)], dtype=np.uint64)
+    lat, lon = S.cell_to_latlng(run)
+    w = S.cell_width_deg(12)
+    d = np.hypot(np.diff(lat), np.diff(lon) * np.cos(np.radians(lat[:-1])))
+    assert np.all(d < 1.6 * w), d / w
+
+
+def test_backend_polyfill_and_parent_expr(spark):
+    b = get_backend("s2")
+    ring = np.array(
+        [[-176.5, -44.2], [-176.3, -44.2], [-176.3, -44.0], [-176.5, -44.0], [-176.5, -44.2]]
+    )
+    cells = b.polyfill([ring], 13)
+    assert len(cells) > 10
+    lat, lon = b.cell_center(cells, 13)
+    assert np.all((lon > -176.5) & (lon < -176.3) & (lat > -44.2) & (lat < -44.0))
+    # native parent expr == kernel parent
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pd.DataFrame({"s2_13": list(cells)}))
+    got = df.withColumn("s2_07", b.parent_expr(F.col("s2_13"), 13, 7)).toPandas()
+    assert list(got["s2_07"]) == list(b.parent(np.asarray(cells), 7))
+
+
+def test_backend_pipeline_e2e(spark):
+    from vector2dggs_spark import index
+    from vector2dggs_spark.sources.documents import documents_df
+
+    docs = documents_df(spark, 150, seed=13)
+    r = index(spark, docs, dggs="s2", resolution=13, parent_res=7)
+    rows = r.cells.limit(500).collect()
+    assert rows
+    b = get_backend("s2")
+    for row in rows[:50]:
+        assert b.get_resolution(row["s2_13"]) == 13
+        assert row["s2_07"] == str(b.parent([row["s2_13"]], 7)[0])

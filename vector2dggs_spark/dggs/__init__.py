@@ -207,29 +207,32 @@ def register(backend: Backend) -> None:
     _REGISTRY[backend.name] = backend
 
 
+_LAZY = {
+    "h3": ("vector2dggs_spark.dggs.h3backend", "H3Backend"),
+    "s2": ("vector2dggs_spark.dggs.s2backend", "S2Backend"),
+}
+
+
 def get_backend(name: str) -> Backend:
+    """Lazy-loads heavy backends: h3's table derivation only runs in
+    workers that actually index with h3 (a geohash/rhp pipeline never
+    pays the import)."""
+    if name not in _REGISTRY and name in _LAZY:
+        import importlib
+
+        mod, cls = _LAZY[name]
+        register(getattr(importlib.import_module(mod), cls)())
     try:
         return _REGISTRY[name]
     except KeyError:
         raise ValueError(
-            f"unknown DGGS {name!r}; available: {sorted(_REGISTRY)}"
+            f"unknown DGGS {name!r}; available: {sorted(set(_REGISTRY) | set(_LAZY))}"
         ) from None
 
 
 def available() -> list[str]:
-    return sorted(_REGISTRY)
+    return sorted(set(_REGISTRY) | set(_LAZY))
 
 
 register(GeohashBackend())
 register(RhpBackend())
-
-# H3 registers itself on import if its derived tables validate (the
-# derivation asserts 122 cells and canonical pentagon numbering)
-try:
-    from vector2dggs_spark.dggs.h3backend import H3Backend
-
-    register(H3Backend())
-except Exception as _e:  # pragma: no cover - derivation failure is fatal in tests
-    import warnings
-
-    warnings.warn(f"h3 backend unavailable: {_e}")

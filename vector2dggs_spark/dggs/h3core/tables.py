@@ -22,6 +22,7 @@ tests/test_h3.py (e.g. (37.77527…, -122.41831…, 9) → 8928308280fffff).
 """
 from __future__ import annotations
 
+import os
 from math import atan2, cos, pi, sin
 
 import numpy as np
@@ -320,7 +321,60 @@ def _derive():
     }
 
 
-_T = _derive()
+_CACHE_VERSION = 1
+_CACHE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), f"_tables_cache_v{_CACHE_VERSION}.npz"
+)
+
+
+def _load_or_derive():
+    """The derivation costs ~0.7 s of CPU — paid once, cached to an npz
+    next to the package so every Spark Python worker loads it in
+    milliseconds instead of re-deriving under contention."""
+    if os.path.exists(_CACHE_PATH):
+        try:
+            z = np.load(_CACHE_PATH, allow_pickle=False)
+            folds = {}
+            src = z["fold_src"]
+            for idx in range(src.shape[0]):
+                f, g, k = int(src[idx, 0]), int(src[idx, 1]), int(src[idx, 2])
+                folds[(f, g)] = (k, z["fold_R"][idx], z["fold_T"][idx])
+            adj: dict[int, dict] = {f: {} for f in range(20)}
+            for (f, g) in folds:
+                adj[f][g] = ()
+            return {
+                "adj": adj,
+                "folds": folds,
+                "base_cell": z["base_cell"],
+                "ccw_rot": z["ccw_rot"],
+                "home_face": z["home_face"],
+                "home_ijk": z["home_ijk"],
+                "is_pentagon": z["is_pentagon"],
+                "center_geo": z["center_geo"],
+            }
+        except Exception:
+            pass
+    t = _derive()
+    try:
+        src = np.array([(f, g, t["folds"][(f, g)][0]) for f, g in t["folds"]], dtype=np.int64)
+        np.savez(
+            _CACHE_PATH,
+            fold_src=src,
+            fold_R=np.stack([t["folds"][(int(a), int(b))][1] for a, b, _ in src]),
+            fold_T=np.stack([t["folds"][(int(a), int(b))][2] for a, b, _ in src]),
+            base_cell=t["base_cell"],
+            ccw_rot=t["ccw_rot"],
+            home_face=t["home_face"],
+            home_ijk=t["home_ijk"],
+            is_pentagon=t["is_pentagon"],
+            center_geo=t["center_geo"],
+        )
+    except OSError:
+        pass  # read-only package dir: derive every time
+    return t
+
+
+_T = _load_or_derive()
 ADJ = _T["adj"]
 FOLDS = _T["folds"]
 BASE_CELL_TABLE = _T["base_cell"]
@@ -329,6 +383,4 @@ HOME_FACE = _T["home_face"]
 HOME_IJK = _T["home_ijk"]
 IS_PENTAGON = _T["is_pentagon"]
 BASE_CENTER_GEO = _T["center_geo"]
-in_triangle = _T["in_triangle"]
-fold_step = _T["fold_step"]
 PENTAGON_CELLS = frozenset(np.nonzero(IS_PENTAGON)[0].tolist())

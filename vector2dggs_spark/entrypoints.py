@@ -355,6 +355,15 @@ Q20 = _dialects(
 Q21 = _dialects(X.ann_ivf_sql("spark"), X.ann_ivf_sql("duckdb"))
 
 
+def _q_s2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector2dggs_spark import index
+    from vector2dggs_spark.sources.documents import documents_df
+
+    docs = documents_df(spark, 800, seed=42)
+    r = index(spark, docs, dggs="s2", resolution=13, parent_res=7)
+    return r.cells
+
+
 def _q_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: media spans -> decode (stub) -> frame
     features (rows-only; the decode itself is container-stubbed)."""
@@ -388,6 +397,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q20_embedding_near_dup": Q20,
     "q21_ann_ivf_bucketed": Q21,
     "q22_media_decode_features": (_q_media, None),
+    "q23_pipeline_s2": (_q_s2_pipeline, None),
 }
 
 
