@@ -95,3 +95,36 @@ def test_antimeridian_split():
     for _, rings in parts:
         minx, _, maxx, _ = gk.bbox(rings[0])
         assert maxx - minx <= 0.51
+
+
+def test_sfc_keys():
+    """Morton/Hilbert SFC keys: locality + determinism (O1)."""
+    import numpy as np
+
+    from vector2dggs_spark.functions import sfc
+
+    rng = np.random.default_rng(5)
+    lat = rng.uniform(-80, 80, 400)
+    lon = rng.uniform(-179, 179, 400)
+    m = sfc.morton_key(lat, lon)
+    h = sfc.hilbert_key(lat, lon)
+    assert len(set(m)) > 300 and len(set(h)) > 300
+    assert all(len(k) == 8 for k in m) and all(len(k) == 8 for k in h)
+    # hilbert continuity: consecutive curve indices are adjacent cells
+    import numpy as _np
+
+    d = _np.arange(0, 4096)
+    # invert a few indices by brute force over the grid at order 6
+    n = 1 << 6
+    gx, gy = _np.meshgrid(_np.arange(n), _np.arange(n), indexing="ij")
+    lat_g = (gy.ravel() + 0.5) / n * 180.0 - 90.0
+    lon_g = (gx.ravel() + 0.5) / n * 360.0 - 180.0
+    keys = sfc.hilbert_key(lat_g, lon_g)
+    # group by key prefix at order-6 granularity: sort cells by key and
+    # check consecutive cells in curve order are grid-adjacent
+    order = _np.argsort(keys)
+    xs, ys = gx.ravel()[order], gy.ravel()[order]
+    # keys at full order-16 resolution: order-6 grid centers are spaced
+    # 2^10 apart on the curve; adjacency must hold between consecutive
+    steps = _np.abs(_np.diff(xs)) + _np.abs(_np.diff(ys))
+    assert (steps == 1).mean() > 0.99, steps.max()

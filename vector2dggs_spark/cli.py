@@ -17,7 +17,7 @@ import sys
 from pathlib import Path
 
 VALID_COMPRESSION = {"none", "uncompressed", "snappy", "gzip", "lz4", "zstd"}
-SORT_METHODS = {"geohash", "none"}  # O1 (hilbert/morton planned)
+SORT_METHODS = {"geohash", "morton", "hilbert", "none"}  # O1
 GEO_MODES = {"none", "point", "polygon"}
 
 

@@ -39,24 +39,41 @@ def prepare(
     geoms: DataFrame,
     backend: Backend,
     cut_threshold_deg2: float | None,
+    sort_method: str = "geohash",
 ) -> DataFrame:
-    """Parse + clean + explode + (antimeridian) + bisect, batch at a time."""
+    """Parse + clean + explode + (antimeridian) + bisect, batch at a time.
+
+    ``sort_method``: geohash | morton | hilbert (SFC key for the later
+    range repartition, O1) — "none" also accepted (key still computed
+    cheaply; the pipeline just skips the repartition)."""
     geodesic = backend.geodesic
     thr = cut_threshold_deg2
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = _prepare_batch(pdf, geodesic, thr)
+            out = _prepare_batch(pdf, geodesic, thr, sort_method)
             if out is not None:
                 yield out
 
     return geoms.mapInPandas(run, schema=PREPARED_SCHEMA)
 
 
+def _sort_key(lat: np.ndarray, lon: np.ndarray, method: str) -> np.ndarray:
+    if method in ("geohash", "none"):
+        return _gh.encode(lat, lon, SORT_KEY_PRECISION)
+    from vector2dggs_spark.functions import sfc
+
+    if method == "morton":
+        return sfc.morton_key(lat, lon)
+    if method == "hilbert":
+        return sfc.hilbert_key(lat, lon)
+    raise ValueError(f"unknown spatial sort method {method!r}")
+
+
 _POINT_RE = r"^\s*POINT\s*\(\s*(-?[0-9.eE+]+)\s+(-?[0-9.eE+]+)\s*\)\s*$"
 
 
-def _prepare_points_fast(pdf: pd.DataFrame):
+def _prepare_points_fast(pdf: pd.DataFrame, sort_method: str):
     """Vectorized fast path for plain POINT WKT (the dominant geometry
     class at web scale): regex-extract coords, build fixed-width WKB with
     one numpy pass — no per-row parser, no katana (points never bisect).
@@ -89,14 +106,14 @@ def _prepare_points_fast(pdf: pd.DataFrame):
             "miny": lat,
             "maxx": lon,
             "maxy": lat,
-            "sort_key": _gh.encode(clat, clon, SORT_KEY_PRECISION),
+            "sort_key": _sort_key(clat, clon, sort_method),
         }
     )
     return fast, pdf[~hit]
 
 
-def _prepare_batch(pdf: pd.DataFrame, geodesic: bool, thr: float | None):
-    fast, pdf = _prepare_points_fast(pdf)
+def _prepare_batch(pdf: pd.DataFrame, geodesic: bool, thr: float | None, sort_method: str = "geohash"):
+    fast, pdf = _prepare_points_fast(pdf, sort_method)
     doc_ids: list[str] = []
     uids: list[str] = []
     gtypes: list[str] = []
@@ -130,7 +147,7 @@ def _prepare_batch(pdf: pd.DataFrame, geodesic: bool, thr: float | None):
     bb = np.array(boxes, dtype=np.float64).reshape(-1, 4)
     cx = np.clip((bb[:, 0] + bb[:, 2]) / 2.0, -180.0, 179.999999)
     cy = np.clip((bb[:, 1] + bb[:, 3]) / 2.0, -90.0, 89.999999)
-    sort_key = _gh.encode(cy, cx, SORT_KEY_PRECISION)
+    sort_key = _sort_key(cy, cx, sort_method)
     slow = pd.DataFrame(
         {
             "doc_id": doc_ids,

@@ -71,7 +71,8 @@ def index(
 
     ``cut_threshold_deg2``: None → backend default (one parent-cell bbox,
     the reference's area-table default G2); 0 disables bisection (`-c 0`).
-    ``spatial_sort``: 'geohash' | 'none' (O1).
+    ``spatial_sort``: 'geohash' | 'morton' | 'hilbert' | 'none' (O1 —
+    the reference's --spatial_sorting choices).
     """
     backend = get_backend(dggs)
     if parent_res is None:
@@ -80,10 +81,12 @@ def index(
     if cut_threshold_deg2 is None:
         cut_threshold_deg2 = backend.default_cut_threshold_deg2(parent_res)
 
+    if spatial_sort not in ("geohash", "morton", "hilbert", "none"):
+        raise ValueError(f"unknown spatial_sort {spatial_sort!r}")
     geoms = extract_geometries(docs)
-    prepared = prepare(geoms, backend, cut_threshold_deg2)
+    prepared = prepare(geoms, backend, cut_threshold_deg2, sort_method=spatial_sort)
 
-    if spatial_sort == "geohash":
+    if spatial_sort != "none":
         # range-partition on the SFC key: spatially-coherent batches for
         # the polyfill stage (reference dask spatial_shuffle, O1)
         if partitions:
