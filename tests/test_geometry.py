@@ -128,3 +128,22 @@ def test_sfc_keys():
     # 2^10 apart on the curve; adjacency must hold between consecutive
     steps = _np.abs(_np.diff(xs)) + _np.abs(_np.diff(ys))
     assert (steps == 1).mean() > 0.99, steps.max()
+
+
+def test_sql_function_registration(spark):
+    import numpy as np
+
+    from vector2dggs_spark.functions.register import register_sql_functions
+
+    names = register_sql_functions(spark, ["geohash", "rhp"])
+    assert "v2d_cell_geohash" in names
+    row = spark.sql(
+        "SELECT v2d_cell_geohash(57.64911d, 10.40744d, 11) AS c, "
+        "v2d_parent_geohash('u4pruydqqvj', 4) AS p, "
+        "v2d_center_lat_geohash('u4pru') AS la, "
+        "v2d_cell_rhp(-44.0d, -176.4d, 5) AS r"
+    ).collect()[0]
+    assert row["c"] == "u4pruydqqvj"
+    assert row["p"] == "u4pr"
+    assert abs(row["la"] - 57.64911) < 0.05
+    assert len(row["r"]) == 6

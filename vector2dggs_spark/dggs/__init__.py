@@ -95,7 +95,9 @@ class GeohashBackend(Backend):
     def grid_disk(self, cells, res, k):
         return _gh.grid_disk(cells, res, k)
 
-    def cell_center(self, cells, res):
+    def cell_center(self, cells, res=None):
+        if res is None:
+            res = len(np.atleast_1d(np.asarray(cells, dtype=str))[0])
         return _gh.decode_center(cells, res)
 
     def cell_width_deg(self, res: int) -> float:
