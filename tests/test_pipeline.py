@@ -172,3 +172,32 @@ def test_h3_end_to_end(spark, docs):
         v = H.from_token([row["h3_08"]])
         assert H.get_resolution(v)[0] == 8
         assert row["h3_03"] == str(H.to_token(H.cell_to_parent(v, 3))[0])
+
+
+def test_empty_geometry_input(spark):
+    """P10: documents without geometry spans produce an empty cell table
+    (no crash, stable schema)."""
+    import pandas as pd
+
+    from vector2dggs_spark.sources.documents import DOCUMENTS_SCHEMA
+
+    pdf = pd.DataFrame(
+        [{"doc_id": "d1", "spans": [{"kind": "text", "text": "x", "media_ref": None, "offset": 0}]}]
+    )
+    docs = spark.createDataFrame(pdf, schema=DOCUMENTS_SCHEMA)
+    r = index(spark, docs, dggs="geohash", resolution=5)
+    assert r.cells.count() == 0
+    assert r.cells.columns == ["geohash_05", "doc_id", "geohash_01"]
+
+
+def test_spatial_sort_variants_equivalent(spark, docs):
+    base = None
+    for sort in ("geohash", "morton", "hilbert", "none"):
+        r = index(spark, docs, dggs="geohash", resolution=5, spatial_sort=sort)
+        got = sorted(
+            (x["doc_id"], x["geohash_05"]) for x in r.cells.collect()
+        )
+        if base is None:
+            base = got
+        else:
+            assert got == base, sort
