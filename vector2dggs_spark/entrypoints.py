@@ -220,41 +220,76 @@ FROM s
 """,
 )
 
-# MinHash LSH near-dup candidates: 16 hashes, 4 bands of 4 (word 3-gram
-# shingles; md5-based min-hash so both engines agree string-exactly).
-Q12 = _dialects(
-    """
-WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
-f AS (SELECT doc_id, toks FROM t WHERE size(toks) >= 3),
-s AS (SELECT doc_id,
-             transform(sequence(1, size(toks) - 2),
-                       i -> concat_ws(' ', slice(toks, i, 3))) AS sh FROM f),
-m AS (SELECT doc_id,
-             transform(sequence(0, 15),
-                       j -> array_min(transform(sh, x -> md5(concat(cast(j as string), '|', x))))) AS mh
-      FROM s),
-b AS (SELECT doc_id, band, md5(concat_ws('|', slice(mh, band * 4 + 1, 4))) AS bv
-      FROM m LATERAL VIEW explode(array(0, 1, 2, 3)) x AS band)
+# MinHash LSH near-dup candidates: word 3-gram shingles hashed ONCE
+# (md5 -> 48-bit int), then 16 linear-permutation min-hashes (the
+# standard (a*h+b) mod p family — pure integer math both engines agree
+# on exactly), banded 4x4.
+_MH_P = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
+_MH_PERMS = [(2 * j + 3, 104729 * (j + 1)) for j in range(16)]
+
+
+def _minhash_sql(dialect: str) -> str:
+    if dialect == "spark":
+        toks = "split(text, ' ')"
+        size_fn, sl = "size", "slice(toks, i, 3)"
+        shingles = (
+            "transform(sequence(1, size(toks) - 2), i -> "
+            "cast(conv(substring(md5(concat_ws(' ', slice(toks, i, 3))), 1, 12), 16, 10) as bigint))"
+        )
+        mins = ", ".join(
+            f"array_min(transform(hs, h -> (h * {a} + {b}) % {_MH_P})) AS m{j}"
+            for j, (a, b) in enumerate(_MH_PERMS)
+        )
+        bands = (
+            "LATERAL VIEW explode(array(0, 1, 2, 3)) x AS band"
+        )
+        bv = (
+            "CASE band "
+            + " ".join(
+                f"WHEN {i} THEN concat_ws('|', m{4*i}, m{4*i+1}, m{4*i+2}, m{4*i+3})"
+                for i in range(4)
+            )
+            + " END"
+        )
+        return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+f AS (SELECT doc_id, toks FROM t WHERE {size_fn}(toks) >= 3),
+s AS (SELECT doc_id, {shingles} AS hs FROM f),
+m AS (SELECT doc_id, {mins} FROM s),
+b AS (SELECT doc_id, band, {bv} AS bv FROM m {bands})
 SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
 FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id
 GROUP BY 1, 2
-""",
-    """
+"""
+    shingles = (
+        "[('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 12))::BIGINT "
+        "for i in range(1, len(toks) - 1)]"
+    )
+    mins = ", ".join(
+        f"list_aggregate([(h * {a} + {b}) % {_MH_P} for h in hs], 'min') AS m{j}"
+        for j, (a, b) in enumerate(_MH_PERMS)
+    )
+    bv = (
+        "CASE band "
+        + " ".join(
+            f"WHEN {i} THEN concat_ws('|', m{4*i}, m{4*i+1}, m{4*i+2}, m{4*i+3})"
+            for i in range(4)
+        )
+        + " END"
+    )
+    return f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
-s AS (SELECT doc_id,
-             [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)] AS sh FROM f),
-m AS (SELECT doc_id,
-             [list_aggregate([md5(cast(j as string) || '|' || x) for x in sh], 'min')
-              for j in range(0, 16)] AS mh
-      FROM s),
-b AS (SELECT doc_id, band, md5(array_to_string(mh[band*4+1:band*4+4], '|')) AS bv
-      FROM m, range(0, 4) r(band))
+s AS (SELECT doc_id, {shingles} AS hs FROM f),
+m AS (SELECT doc_id, {mins} FROM s),
+b AS (SELECT doc_id, band, {bv} AS bv FROM m, range(0, 4) r(band))
 SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
 FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id
 GROUP BY 1, 2
-""",
-)
+"""
+
+
+Q12 = _dialects(_minhash_sql("spark"), _minhash_sql("duckdb"))
 
 # ANN: brute-force cosine top-10 vs query vector 0; sequential double
 # folds keep both engines bit-identical, rank on the exact value.
