@@ -80,7 +80,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if spark is None:
         spark = get_spark(cores=args.cpus, app=f"vector2dggs_spark:{args.dggs}")
     try:
-        docs = spark.read.parquet(args.vector_input)
+        from vector2dggs_spark.sources.documents import read_documents
+
+        docs = read_documents(spark, args.vector_input)
+        if args.id_field != "doc_id":
+            # reference `-id` semantics: use a caller-chosen unique column
+            # as the feature id (common.py:624-628)
+            docs = docs.withColumnRenamed(args.id_field, "doc_id")
         if args.checkpoint:
             run = index_checkpointed(
                 spark, docs, args.checkpoint,

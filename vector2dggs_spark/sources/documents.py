@@ -179,6 +179,20 @@ def documents_df(
     return spark.createDataFrame(pdf, schema=DOCUMENTS_SCHEMA)
 
 
+def read_documents(spark: SparkSession, source: str) -> DataFrame:
+    """Load the documents table from an Iceberg table name or a parquet
+    path (the north-rule source is an Iceberg catalog table; this
+    container has no Iceberg runtime jars, so the parquet branch is the
+    tested path — the Iceberg branch is the same one-liner Spark offers
+    everywhere: ``spark.read.format("iceberg").load(name)``)."""
+    if "/" not in source and not source.endswith(".parquet"):
+        try:
+            return spark.read.format("iceberg").load(source)
+        except Exception:
+            return spark.read.table(source)
+    return spark.read.parquet(source)
+
+
 def synthesize_documents_native(spark: SparkSession, n_docs: int) -> DataFrame:
     """Large-scale interleaved documents table generated ENTIRELY with
     native Spark expressions (no Python row loop) — the web-scale shape
