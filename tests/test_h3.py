@@ -171,3 +171,18 @@ def test_parent_expr_native(spark):
     out = df.withColumn("h3_03", b.parent_expr(F.col("h3_09"), 9, 3)).toPandas()
     expected = b.parent(toks, 3)
     assert list(out["h3_03"]) == list(expected)
+
+
+def test_grid_path_cells():
+    """gridPathCells: connected chain of neighbors including endpoints."""
+    a = int(H.latlng_to_cell([-44.2], [-176.5], 8)[0])
+    b = int(H.latlng_to_cell([-44.0], [-176.25], 8)[0])
+    path = H.grid_path_cells(a, b)
+    assert path[0] == a or a in path
+    assert b in path
+    # chain connectivity: each consecutive pair are grid neighbors
+    for u, v in zip(path[:-1], path[1:]):
+        nb = set(H.neighbors(np.array([u], dtype=np.uint64))[0].tolist())
+        assert int(v) in nb, (format(int(u), "x"), format(int(v), "x"))
+    # degenerate path: same cell
+    assert list(H.grid_path_cells(a, a)) == [a]

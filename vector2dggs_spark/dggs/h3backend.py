@@ -97,17 +97,16 @@ class H3Backend:
         return H.to_token(cand[inside])
 
     def linetrace(self, coords, res):
-        """Cells along each segment (dense geodesic-in-latlon sampling,
-        deduped keep-first — reference C2 semantics are 'union of
-        per-segment cell paths')."""
-        spacing = H.mean_center_spacing_deg(res)
-        pts = [coords[:1]]
-        for a, b in zip(coords[:-1], coords[1:]):
-            n = max(int(np.ceil(max(abs(b[0] - a[0]), abs(b[1] - a[1])) / (spacing / 4))), 1)
-            t = np.linspace(0, 1, n + 1)[1:]
-            pts.append(a[None, :] + t[:, None] * (b - a)[None, :])
-        pts = np.concatenate(pts)
-        cells = H.to_token(H.latlng_to_cell(pts[:, 1], pts[:, 0], res))
+        """Reference C2 exactly (h3vectorindexer.py:20-28): per segment,
+        grid_path_cells between the endpoint cells; union of segment
+        paths, deduped keep-first."""
+        ends = H.latlng_to_cell(coords[:, 1], coords[:, 0], res)
+        paths = []
+        for i in range(len(ends) - 1):
+            paths.append(H.grid_path_cells(int(ends[i]), int(ends[i + 1])))
+        if not paths:
+            paths = [ends]
+        cells = H.to_token(np.concatenate(paths))
         _, idx = np.unique(cells, return_index=True)
         return cells[np.sort(idx)]
 

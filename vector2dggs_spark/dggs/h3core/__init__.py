@@ -523,6 +523,40 @@ def cell_boundary(cells) -> tuple[np.ndarray, np.ndarray]:
     return lat_out, lon_out
 
 
+def grid_path_cells(a: int, b: int) -> np.ndarray:
+    """Cells on the hex-grid line from ``a`` to ``b`` (inclusive) — the
+    h3 gridPathCells shape: linear interpolation between the two centers
+    with per-sample rounding to the containing cell.  Same-home-face
+    pairs interpolate in the shared gnomonic (substrate hex2d) frame —
+    exactly the hex-line construction; cross-face pairs interpolate the
+    geodesic chord (the reference's own gridPathCells also degrades for
+    distant cells)."""
+    va = np.array([a], dtype=np.uint64)
+    vb = np.array([b], dtype=np.uint64)
+    res = int(get_resolution(va)[0])
+    fa, ia, ja, ka, sub = _cells_to_substrate_ijk(va)
+    fb, ib, jb, kb, _ = _cells_to_substrate_ijk(vb)
+    step = T.M_SQRT7 if sub > res else 1.0  # res-cell spacing in substrate units
+    if int(fa[0]) == int(fb[0]):
+        xa, ya = _ijk_to_hex2d(float(ia[0]), float(ja[0]), float(ka[0]))
+        xb, yb = _ijk_to_hex2d(float(ib[0]), float(jb[0]), float(kb[0]))
+        n = max(int(np.ceil(np.hypot(xb - xa, yb - ya) / step)), 1)
+        t = np.linspace(0.0, 1.0, 2 * n + 1)  # 2x oversample: < 1/2 cell/step
+        xs = (xa + (xb - xa) * t) / (T.M_SQRT7 ** sub)
+        ys = (ya + (yb - ya) * t) / (T.M_SQRT7 ** sub)
+        lat, lon = _hex2d_res0_to_geo(np.full(len(xs), int(fa[0])), xs, ys)
+    else:
+        la, lo = cell_to_latlng(va)
+        lb, lob = cell_to_latlng(vb)
+        n = 256
+        t = np.linspace(0, 1, n)
+        lat = la[0] + (lb[0] - la[0]) * t
+        lon = lo[0] + (lob[0] - lo[0]) * t
+    cells = latlng_to_cell(lat, lon, res)
+    _, idx = np.unique(cells, return_index=True)
+    return cells[np.sort(idx)]
+
+
 def mean_center_spacing_deg(res: int) -> float:
     """Empirical min center-to-center spacing (degrees) at a resolution —
     used for kNN ring guarantees and polyfill disk sizing."""
