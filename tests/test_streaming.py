@@ -49,3 +49,41 @@ def test_stream_matches_batch(spark, tmp_path):
     ).select("doc_id").distinct().count()
     # Hive layout preserved by the streaming sink
     assert any(d.startswith("geohash_01=") for d in os.listdir(out_dir))
+
+
+def test_stateful_running_counts_resume(spark, tmp_path):
+    """applyInPandasWithState: per-cell totals accumulate across separate
+    query runs through the persisted state store (checkpoint recovery)."""
+    from vector2dggs_spark.streaming.stateful import streaming_cell_counts
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    d1 = _point_docs(spark, 120, seed=2).cache()
+    d1.write.parquet(in_dir)
+    q = streaming_cell_counts(spark, in_dir, out_dir, cp, dggs="geohash", resolution=4)
+    q.awaitTermination(120)
+
+    d2 = _point_docs(spark, 90, seed=77).withColumn(
+        "doc_id", F.concat(F.lit("y"), F.col("doc_id"))
+    ).cache()
+    d2.write.mode("append").parquet(in_dir)
+    q2 = streaming_cell_counts(spark, in_dir, out_dir, cp, dggs="geohash", resolution=4)
+    q2.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out_dir)
+        .groupBy("cell")
+        .agg(F.max("total").alias("total"))
+        .toPandas()
+        .set_index("cell")["total"]
+        .to_dict()
+    )
+    # expected: batch totals from ALL docs (state carried across runs)
+    both = d1.unionByName(d2)
+    exp = index(spark, both, dggs="geohash", resolution=4).cells
+    exp_counts = {
+        r["geohash_04"]: r["n"]
+        for r in exp.groupBy("geohash_04").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == exp_counts and got
