@@ -97,6 +97,24 @@ def run_bench(spark, sf_dir: str) -> dict:
         ).count(),
     )
 
+    # 4b. hot-cell skew: one cell holds 70% of the left side; salting
+    # fans the hot key across tasks (north-rule skew handling)
+    from vector2dggs_spark.operators.joins import cell_join
+
+    hot_left = spark.range(2_000_000).selectExpr(
+        "case when id % 10 < 7 then 'HOTCELL' else concat('c', id % 100000) end AS geohash_06",
+        "id AS l_id",
+    )
+    hot_right = spark.range(2_000).selectExpr(
+        "case when id < 200 then 'HOTCELL' else concat('c', id % 100000) end AS geohash_06",
+        "id AS r_id",
+    )
+    timed("skew_join_plain", lambda: cell_join(hot_left, hot_right, "geohash_06").count())
+    timed(
+        "skew_join_salted",
+        lambda: cell_join(hot_left, hot_right, "geohash_06", salt=16).count(),
+    )
+
     # 5. compaction over the pipeline output
     rc = index(spark, docs, dggs="geohash", resolution=6, parent_res=3, compact=True)
     timed("compaction", lambda: rc.cells.count())

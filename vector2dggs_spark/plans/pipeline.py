@@ -84,6 +84,36 @@ def index(
     if spatial_sort not in ("geohash", "morton", "hilbert", "none"):
         raise ValueError(f"unknown spatial_sort {spatial_sort!r}")
     geoms = extract_geometries(docs)
+
+    native_points = None
+    if backend.name == "geohash":
+        # POINT spans (the dominant class at web scale) never leave the
+        # JVM: regexp parse + bit-arithmetic geohash encode, pure
+        # WholeStageCodegen (functions/sqlgen.py).  Non-point spans take
+        # the Arrow-UDF path below; the two branches partition the rows,
+        # so no work is duplicated.
+        from vector2dggs_spark.functions.sqlgen import geohash_col
+        from vector2dggs_spark.operators.prepare import _POINT_RE
+
+        pat = _POINT_RE.strip("^$")
+        is_point = F.col("wkt").isNotNull() & F.col("wkt").rlike(_POINT_RE)
+        pts = (
+            geoms.where(is_point)
+            .select(
+                "doc_id",
+                "span_idx",
+                F.regexp_extract("wkt", pat, 1).cast("double").alias("lon"),
+                F.regexp_extract("wkt", pat, 2).cast("double").alias("lat"),
+            )
+        )
+        native_points = pts.select(
+            "doc_id",
+            F.concat_ws("#", "doc_id", F.col("span_idx").cast("string"), F.lit("0"), F.lit("0")).alias("part_uid"),
+            F.lit("Point").alias("geom_type"),
+            geohash_col("lat", "lon", resolution).alias("cell"),
+        )
+        geoms = geoms.where(~F.coalesce(F.col("wkt").rlike(_POINT_RE), F.lit(False)))
+
     prepared = prepare(geoms, backend, cut_threshold_deg2, sort_method=spatial_sort)
 
     if spatial_sort != "none":
@@ -97,6 +127,8 @@ def index(
         prepared = prepared.repartition(partitions)
 
     cells = index_cells(prepared, backend, resolution)
+    if native_points is not None:
+        cells = cells.unionByName(native_points)
 
     # cross-part line dedup: (cell, feature) keep-first (O5).  Poly/point
     # rows keep duplicates across parts, exactly like the reference (only
