@@ -178,7 +178,7 @@ Notes
 - local[N] shares one JVM, page cache and memory bus, so this is a
   conservative proxy for multi-executor scale-out.
 """
-    with open(os.path.join(repo, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(repo, "BENCH", "BASELINE_generated.md"), "w") as f:
         f.write(md)
     print(json.dumps({"effA": effA, "effB": effB, "normA": normA,
                       "normB": normB, "ceiling": ceiling,
