@@ -400,13 +400,54 @@ def _q_s2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: media spans -> decode (stub) -> frame
-    features (rows-only; the decode itself is container-stubbed)."""
-    from vector2dggs_spark.operators.media import decode_media, extract_frame_features
-    from vector2dggs_spark.sources.documents import documents_df, extract_media
+    """Multimodal plumbing: tile media refs -> decode (stub, mapInPandas)
+    -> frame features (one-to-many mapInPandas) -> exploded scalar
+    projection.  The stub's md5 math is SQL-expressible, so this query
+    has a full DuckDB oracle despite running through Arrow UDFs."""
+    from pyspark.sql import functions as F
 
-    docs = documents_df(spark, 400, seed=42)
-    return extract_frame_features(decode_media(extract_media(docs)))
+    from vector2dggs_spark.operators.media import decode_media, extract_frame_features
+
+    load_views(spark, sf_dir)
+    media = spark.sql(f"SELECT DISTINCT media_ref FROM ({TILES}) __m")
+    feats = extract_frame_features(decode_media(media))
+    return feats.select(
+        "media_ref",
+        "width",
+        "height",
+        "format",
+        "n_frames",
+        "frame",
+        F.posexplode("features").alias("dim", "value"),
+    ).withColumn("value", F.col("value").cast("double"))
+
+
+def _hexbyte(h: str, i: int | str) -> str:
+    """DuckDB: byte ``i`` (0-based) of an md5 hex string as INT."""
+    pos = f"({i}) * 2 + 1" if isinstance(i, str) else str(i * 2 + 1)
+    return f"('0x' || substr({h}, {pos}, 2))::INT"
+
+
+_MEDIA_ORACLE = f"""
+WITH media AS (SELECT DISTINCT media_ref FROM ({TILES}) __m),
+dec AS (
+  SELECT media_ref,
+         256 + {_hexbyte('md5(media_ref)', 0)} * 4 AS width,
+         256 + {_hexbyte('md5(media_ref)', 1)} * 4 AS height,
+         CASE ({_hexbyte('md5(media_ref)', 2)} % 3)
+           WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+         1 + ({_hexbyte('md5(media_ref)', 3)} % 4) AS n_frames
+  FROM media),
+fr AS (
+  SELECT d.*, f.frame FROM dec d,
+       (SELECT unnest([0, 1, 2, 3]) AS frame) f
+  WHERE f.frame < d.n_frames)
+SELECT media_ref, width, height, format, n_frames, frame,
+       cast(dm.dim AS int) AS dim,
+       cast({_hexbyte("md5(media_ref || '#' || cast(frame AS varchar))", 'dm.dim')}
+            AS double) / cast(256.0 AS double) AS value
+FROM fr, (SELECT unnest(range(16)) AS dim) dm
+"""
 
 
 QUERIES: dict[str, tuple[Callable, str | None]] = {
@@ -431,7 +472,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q19_simhash_pairs": Q19,
     "q20_embedding_near_dup": Q20,
     "q21_ann_ivf_bucketed": Q21,
-    "q22_media_decode_features": (_q_media, None),
+    "q22_media_decode_features": (_q_media, _MEDIA_ORACLE),
     "q23_pipeline_s2": (_q_s2_pipeline, None),
 }
 
