@@ -63,12 +63,11 @@ def test_hierarchy_consistency():
         fine = H.latlng_to_cell(lat, lon, res + 1)
         clat, clon = H.cell_to_latlng(fine)
         via_center = H.latlng_to_cell(clat, clon, res)
-        # exact on hexagon base cells; pentagon bases are the documented
-        # leading-K-digit limitation (h3core module docstring)
-        hexbase = ~IS_PENTAGON[H.base_cell(fine)]
+        # exact everywhere, pentagon base cells included (round 2:
+        # derived sector tables replace the old leading-K limitation)
         bp = H.cell_to_parent(fine, res)
-        assert np.array_equal(bp[hexbase], via_center[hexbase]), f"res {res}"
-        assert hexbase.mean() > 0.85
+        assert np.array_equal(bp, via_center), f"res {res}"
+        assert (~IS_PENTAGON[H.base_cell(fine)]).mean() > 0.85
         coarse = H.latlng_to_cell(lat, lon, res)
         agree = (bp == coarse).mean()
         assert agree > 0.85, (res, agree)
@@ -186,3 +185,71 @@ def test_grid_path_cells():
         assert int(v) in nb, (format(int(u), "x"), format(int(v), "x"))
     # degenerate path: same cell
     assert list(H.grid_path_cells(a, a)) == [a]
+
+
+# ---------------------------------------------------------------- pentagons
+def _pentagon_res0(bc: int) -> int:
+    return int(H.MODE_CELL | (np.uint64(bc) << np.uint64(45)) | np.uint64((1 << 45) - 1))
+
+
+def test_pentagon_children_roundtrip_all12():
+    """Every canonical descendant of every pentagon base cell decodes to
+    a unique center that re-encodes to itself (encode = decode⁻¹)."""
+    from vector2dggs_spark.dggs.h3core.tables import PENTAGON_CELLS
+
+    for bc in sorted(PENTAGON_CELLS):
+        for res in (1, 2, 3):
+            kids = np.array(H.cell_to_children(_pentagon_res0(bc), res), dtype=np.uint64)
+            assert len(kids) == 1 + 5 * (7**res - 1) // 6  # pentagon count
+            lat, lon = H.cell_to_latlng(kids)
+            assert len({(round(a, 7), round(b, 7)) for a, b in zip(lat, lon)}) == len(kids)
+            assert np.array_equal(H.latlng_to_cell(lat, lon, res), kids), (bc, res)
+
+
+def test_pentagon_coverage_and_canonical_form():
+    """Dense random points around each icosahedron vertex: every point in
+    a pentagon base cell encodes to a canonical child (never a leading-K
+    digit, always within cell_to_children's enumeration)."""
+    from vector2dggs_spark.dggs.h3core.tables import BASE_CENTER_GEO, PENTAGON_CELLS
+
+    rng = np.random.default_rng(11)
+    for bc in sorted(PENTAGON_CELLS):
+        kids = set(H.cell_to_children(_pentagon_res0(bc), 4))
+        clat, clon = BASE_CENTER_GEO[bc]  # radians
+        ang = rng.uniform(0, 2 * np.pi, 1500)
+        rad = np.radians(rng.uniform(0.01, 7.5, 1500))
+        sla = np.arcsin(np.clip(np.sin(clat) * np.cos(rad) + np.cos(clat) * np.sin(rad) * np.cos(ang), -1, 1))
+        slo = clon + np.arctan2(np.sin(ang) * np.sin(rad) * np.cos(clat), np.cos(rad) - np.sin(clat) * np.sin(sla))
+        cells = H.latlng_to_cell(np.degrees(sla), np.degrees(slo), 4)
+        mine = H.base_cell(cells) == bc
+        assert mine.sum() > 200  # sampling sanity
+        lead = H._leading_nonzero_digit(cells[mine], 4)
+        assert (lead != 1).all(), f"bc {bc}: leading-K (non-canonical) cell emitted"
+        assert all(int(c) in kids for c in cells[mine]), f"bc {bc}: cell outside children cover"
+
+
+def test_pentagon_sector_tables_structure():
+    """Derived sector tables: 5 faces per pentagon, home face identity
+    rotation, exactly one K-gap face pair (ccw/cw), matching the
+    published H3 deleted-subsequence structure."""
+    from vector2dggs_spark.dggs.h3core import _pent_tables
+    from vector2dggs_spark.dggs.h3core.tables import HOME_FACE, PENTAGON_CELLS
+
+    PT = _pent_tables()
+    for bc in sorted(PENTAGON_CELLS):
+        faces = np.nonzero(PT["corner_axis"][bc] >= 0)[0]
+        assert len(faces) == 5
+        assert PT["rot"][bc, HOME_FACE[bc]] == 0
+        kf = PT["kfix"][bc][faces]
+        assert sorted(kf.tolist()) == [-1, 0, 0, 0, 1]
+
+
+def test_pentagon_compact():
+    """Pentagon children compact back to the pentagon (6 siblings merge
+    at the pentagon level, 7 elsewhere)."""
+    from vector2dggs_spark.dggs.h3core.tables import PENTAGON_CELLS
+
+    for bc in sorted(PENTAGON_CELLS)[:3]:
+        v = _pentagon_res0(bc)
+        kids = H.cell_to_children(v, 2)
+        assert H.compact_cells(kids) == {v}

@@ -70,28 +70,60 @@ class H3Backend:
         return str(H.to_token(H.cell_to_center_child(v, res))[0])
 
     # ---------------------------------------------------------- geometry ops
+    # one grid-disk cover is used up to this many rings; larger polygons
+    # take the hierarchical cover (children of a coarser cover) so no
+    # polygon size can fail at runtime
+    _DISK_K_CAP = 128
+
+    def _bbox_k(self, ext, res: int) -> int:
+        half_diag = 0.5 * np.hypot(
+            ext[:, 0].max() - ext[:, 0].min(), ext[:, 1].max() - ext[:, 1].min()
+        )
+        return int(np.ceil(half_diag / H.min_center_spacing_deg(res))) + 2
+
+    def _bbox_candidates(self, ext, res: int) -> np.ndarray:
+        """u64 cells at ``res`` whose centers may fall in the bbox of
+        ``ext`` — a conservative cover.  Small bboxes: one grid disk
+        sized from the GLOBAL minimum spacing.  Large bboxes: children
+        of a coarser cover (recursing by 2 res steps), so arbitrarily
+        large polygons cover without a ring-budget failure (the old
+        one-point-sampled k with a hard k>600 ValueError dropped cells
+        in tight-spacing regions and crashed on big pieces)."""
+        k = self._bbox_k(ext, res)
+        if k <= self._DISK_K_CAP or res < 2:
+            clon = (ext[:, 0].min() + ext[:, 0].max()) / 2.0
+            clat = (ext[:, 1].min() + ext[:, 1].max()) / 2.0
+            seed = H.latlng_to_cell([clat], [clon], res)
+            return H.grid_disk(seed, min(k, 2000))[0]
+        coarse = self._bbox_candidates(ext, res - 2)
+        # keep coarse cells near the bbox (expanded by a coarse cell
+        # diameter), dilate one ring to be conservative, then expand to
+        # children at the target res
+        lat_c, lon_c = H.cell_to_latlng(coarse)
+        pad = 2.5 * H.mean_center_spacing_deg(res - 2)
+        near = (
+            (lon_c >= ext[:, 0].min() - pad)
+            & (lon_c <= ext[:, 0].max() + pad)
+            & (lat_c >= ext[:, 1].min() - pad)
+            & (lat_c <= ext[:, 1].max() + pad)
+        )
+        keep = coarse[near]
+        if len(keep) == 0:
+            keep = coarse
+        dilated = np.unique(np.concatenate(H.grid_disk(keep, 1)))
+        kids = [H.cell_to_children(int(c), res) for c in dilated]
+        return np.unique(np.concatenate([np.array(x, dtype=np.uint64) for x in kids]))
+
     def polyfill(self, rings, res):
         """Cells whose center is inside the polygon — H3 v4
         'containment: center' modality (reference h3vectorindexer.py:16-18).
 
-        Candidates via grid-disk covering of the bbox circumdisk, then one
-        vectorized PIP pass over candidate centers."""
+        Candidates via a conservative bbox cover (single disk or
+        hierarchical children-of-coarser-cover), then one vectorized PIP
+        pass over candidate centers."""
         from vector2dggs_spark.geometry.kernels import points_in_polygon
 
-        ext = rings[0]
-        clon = (ext[:, 0].min() + ext[:, 0].max()) / 2.0
-        clat = (ext[:, 1].min() + ext[:, 1].max()) / 2.0
-        seed = H.latlng_to_cell([clat], [clon], res)
-        spacing = H.mean_center_spacing_deg(res)
-        half_diag = 0.5 * np.hypot(
-            ext[:, 0].max() - ext[:, 0].min(), ext[:, 1].max() - ext[:, 1].min()
-        )
-        k = int(np.ceil(half_diag / spacing)) + 2
-        if k > 600:
-            raise ValueError(
-                f"h3 polyfill bbox needs k={k} rings at res {res}; bisect first"
-            )
-        cand = H.grid_disk(seed, k)[0]
+        cand = self._bbox_candidates(rings[0], res)
         lat_c, lon_c = H.cell_to_latlng(cand)
         inside = points_in_polygon(lon_c, lat_c, rings)
         return H.to_token(cand[inside])
@@ -140,9 +172,20 @@ class H3Backend:
         return max(self.min_res, res - 6)
 
     def default_cut_threshold_deg2(self, parent_res: int) -> float:
-        w = self.cell_width_deg(max(parent_res, 1)) * 3.0
-        return w * w
+        """Katana threshold derived from the polyfill single-disk budget:
+        a square piece of this area needs at most ~0.75·_DISK_K_CAP
+        rings at the default indexing res (parent_res + 6), so default
+        pipelines never leave the cheap one-disk cover path."""
+        from vector2dggs_spark.dggs import DEFAULT_PARENT_OFFSET
+
+        res = min(self.max_res, parent_res + DEFAULT_PARENT_OFFSET)
+        side = 0.75 * self._DISK_K_CAP * H.min_center_spacing_deg(res)
+        return side * side
 
     def ring_guarantee_deg(self, res: int, r: int) -> float:
-        """Conservative hex-grid kNN termination bound (see Backend)."""
-        return max(r - 1, 0) * 0.8 * self.cell_width_deg(res)
+        """Conservative hex-grid kNN termination bound: cells beyond
+        grid-disk(r) are ≥ (r-1)·(global min spacing)·(√3/2) away from
+        any point of the center cell (√3/2 = hex lattice row height;
+        the -1 absorbs the query point's offset inside its cell).  Uses
+        the GLOBAL minimum spacing, not a one-point sample."""
+        return max(r - 1, 0) * 0.85 * H.min_center_spacing_deg(res)

@@ -7,10 +7,14 @@ latlng→cell reproduces libh3 bit-for-bit at the tested locations and
 resolutions; parent/children/compact are exact bit operations on the
 H3 index layout.
 
-KNOWN LIMITATION: the pentagon "leading K-digit" orientation adjustment
-(which needs libh3's cwOffsetPent data) is not applied, so cells inside
-the 12 pentagon base cells may differ from libh3 in digit orientation;
-hexagon base cells (110 of 122, covering the test fixtures) are exact.
+Pentagon base cells use the deleted-K-subsequence scheme with sector
+tables derived geometrically at import (_pent_tables): encode/decode are
+exactly mutually consistent in all 122 base cells (roundtrip + coverage
+validated in tests/test_h3.py).  Because the canonical pentagon
+orientation data (libh3 baseCellData.cwOffsetPent) is hand-authored
+rather than geometric, bit-parity with libh3 *inside the 12 pentagon
+base cells* is unverifiable in this container; hexagon base cells
+reproduce libh3 bit-for-bit at the published test vectors.
 
 Index layout (H3 v4): bit 63 reserved=0 | 62-59 mode=1 | 58-56 reserved
 | 55-52 resolution | 51-45 base cell | 44-0 fifteen 3-bit digits
@@ -107,6 +111,33 @@ for _f in range(20):
                 _assigned += 1
                 break
     assert _assigned == 3, f"face {_f}: only {_assigned} fold edges assigned"
+
+# ---- lattice-level face-neighbor transforms (libh3 faceNeighbors analog)
+# Derived from the continuous folds: the fold P->R@P+T is an exact
+# isomorphism of the class-II res-0 lattices of adjacent faces, so its
+# rotation count is _FOLD_K and its translation is a lattice vector.
+# Quadrant -> local edge: JK=edge 0 (spans axes j,k), KI=1, IJ=2.
+_NEIGH_T_IJK = np.zeros((20, 3, 3), dtype=np.int64)
+for _f in range(20):
+    for _e in range(3):
+        _tx, _ty = _FOLD_T[_f, _e]
+        _jj = _ty / T.M_SIN60
+        _ii = _tx + 0.5 * _jj
+        assert abs(_ii - round(_ii)) < 1e-9 and abs(_jj - round(_jj)) < 1e-9, (
+            "fold translation is not a lattice vector"
+        )
+        _i0, _j0 = int(round(_ii)), int(round(_jj))
+        _m = min(_i0, _j0, 0)
+        _NEIGH_T_IJK[_f, _e] = (_i0 - _m, _j0 - _m, -_m)
+
+
+def _ijk_rotate60ccw(i, j, k):
+    """Lattice 60° ccw: i->i+j axis, j->j+k, k->i+k (libh3 coordijk.c)."""
+    return i + k, i + j, j + k
+
+
+def _ijk_rotate60cw(i, j, k):
+    return i + j, j + k, i + k
 
 
 # ------------------------------------------------------------- ijk (vectorized)
@@ -210,10 +241,33 @@ def _geo_to_hex2d(lat, lon, face, res):
     return rr * np.cos(theta), rr * np.sin(theta)
 
 
-def latlng_to_cell(lat_deg, lon_deg, res: int) -> np.ndarray:
-    """Vectorized (lat°, lon°) -> uint64 H3 cell index at ``res``."""
-    lat = np.radians(np.atleast_1d(np.asarray(lat_deg, dtype=np.float64)))
-    lon = np.radians(np.atleast_1d(np.asarray(lon_deg, dtype=np.float64)))
+def _rotate_digits(bits: np.ndarray, res: int, table: np.ndarray) -> np.ndarray:
+    """Apply a 60° digit rotation table to digits 1..res of the payload."""
+    out = bits.copy()
+    for r in range(1, res + 1):
+        sh = _U(3 * (15 - r))
+        d = ((bits >> sh) & _U(7)).astype(np.int64)
+        out = (out & ~(_U(7) << sh)) | (table[d] << sh)
+    return out
+
+
+def _leading_nonzero_digit(bits: np.ndarray, res: int) -> np.ndarray:
+    """First nonzero digit (r=1..res) per cell; 0 if all digits zero.
+
+    libh3 _h3LeadingNonZeroDigit (h3Index.c, public algorithm)."""
+    out = np.zeros(len(bits), dtype=np.int64)
+    found = np.zeros(len(bits), dtype=bool)
+    for r in range(1, res + 1):
+        d = ((bits >> _U(3 * (15 - r))) & _U(7)).astype(np.int64)
+        m = ~found & (d != 0)
+        out[m] = d[m]
+        found |= d != 0
+    return out
+
+
+def _encode_parts(lat, lon, res: int):
+    """Radians (lat, lon) -> pre-rotation encode state:
+    (face, bc int64, ccw rotation count, header bits, raw digit payload)."""
     xyz = np.stack([np.cos(lat) * np.cos(lon), np.cos(lat) * np.sin(lon), np.sin(lat)], axis=1)
     face = np.argmax(xyz @ T.FACE_XYZ.T, axis=1)
     x, y = _geo_to_hex2d(lat, lon, face, res)
@@ -234,25 +288,229 @@ def latlng_to_cell(lat_deg, lon_deg, res: int) -> np.ndarray:
     ic = np.clip(i, 0, 2)
     jc = np.clip(j, 0, 2)
     kc = np.clip(k, 0, 2)
-    bc = T.BASE_CELL_TABLE[face, ic, jc, kc].astype(np.uint64)
+    bc = T.BASE_CELL_TABLE[face, ic, jc, kc]
     rots = T.CCW_ROT_TABLE[face, ic, jc, kc]
 
-    v = MODE_CELL | (_U(res) << _U(52)) | (bc << _U(45))
+    v = MODE_CELL | (_U(res) << _U(52)) | (bc.astype(np.uint64) << _U(45))
     digit_bits = np.zeros_like(v)
     for r in range(1, 16):
         digit_bits |= digits[:, r] << _U(3 * (15 - r))
-    # apply per-cell ccw rotations to the digit payload
-    for rot in range(1, 6):
-        m = rots >= rot
-        if not m.any():
-            continue
-        rotated = np.zeros_like(digit_bits[m])
-        sub = digit_bits[m]
-        for r in range(1, 16):
-            d = (sub >> _U(3 * (15 - r))) & _U(7)
-            rotated |= _ROT_CCW[d.astype(np.int64)] << _U(3 * (15 - r))
-        digit_bits[m] = rotated
+    return face, bc, rots, v, digit_bits
+
+
+def latlng_to_cell(lat_deg, lon_deg, res: int) -> np.ndarray:
+    """Vectorized (lat°, lon°) -> uint64 H3 cell index at ``res``.
+
+    Pentagon base cells use the K-axis-deleted canonicalization of the
+    published H3 scheme (h3Index.c): the raw per-face digit payload is
+    rotated into the base cell's canonical sector frame by a per-(base
+    cell, face) rotation count, and payloads that land on the deleted K
+    sector (straddling the sector gap) are rotated once more across the
+    gap.  The rotation tables are derived geometrically at import (see
+    _pent_tables) rather than recalled from libh3's hand-authored
+    baseCellData, so pentagon output is exactly self-consistent
+    (encode = inverse of decode, children enumerable, compact exact);
+    bit-parity with libh3 near pentagons is unverifiable in this
+    container (same status as the S2 backend)."""
+    lat = np.radians(np.atleast_1d(np.asarray(lat_deg, dtype=np.float64)))
+    lon = np.radians(np.atleast_1d(np.asarray(lon_deg, dtype=np.float64)))
+    face, bc, rots, v, digit_bits = _encode_parts(lat, lon, res)
+
+    pent = T.IS_PENTAGON[bc]
+    hexm = ~pent
+    if res > 0:
+        # hexagon base cells: plain ccw rotations of the digit payload
+        for rot in range(1, 6):
+            m = hexm & (rots >= rot)
+            if m.any():
+                digit_bits[m] = _rotate_digits(digit_bits[m], res, _ROT_CCW)
+        if pent.any():
+            PT = _pent_tables()
+            t = np.where(pent, PT["rot"][bc, face], 0)
+            for rot in range(1, 6):
+                m = pent & (t >= rot)
+                if m.any():
+                    digit_bits[m] = _rotate_digits(digit_bits[m], res, _ROT_CCW)
+            lead = _leading_nonzero_digit(digit_bits, res)
+            fix = pent & (lead == 1)
+            if fix.any():
+                kf = PT["kfix"][bc[fix], face[fix]]  # +1 ccw / -1 cw
+                sel = np.nonzero(fix)[0]
+                ccw_i, cw_i = sel[kf > 0], sel[kf < 0]
+                digit_bits[ccw_i] = _rotate_digits(digit_bits[ccw_i], res, _ROT_CCW)
+                digit_bits[cw_i] = _rotate_digits(digit_bits[cw_i], res, _ROT_CW)
     return v | digit_bits
+
+
+# ---------------------------------------------------- pentagon sector tables
+_PENT_TABLES = None
+
+# digit -> lattice direction angle in units of 60° (I=4 at 0°, ccw)
+_DIGIT_ANG60 = {4: 0, 6: 1, 2: 2, 3: 3, 1: 4, 5: 5}
+_ANG60_DIGIT = {v: k for k, v in _DIGIT_ANG60.items()}
+# corner axis -> the digit pointing from that corner into the face
+# (corner i: center-ward = JK; corner j: IK; corner k: IJ)
+_CORNER_CONE_DIGIT = {0: 3, 1: 5, 2: 6}
+
+
+def _derive_pent_tables() -> dict:
+    """Derive the pentagon sector layout per base cell, geometrically.
+
+    Each pentagon base cell sits on an icosahedron vertex shared by 5
+    faces; gnomonic projection maps each face's 72° spherical wedge to a
+    60° lattice cone at the vertex corner, so the five 60° digit sectors
+    (K deleted) tile the sphere around the vertex exactly.  The home
+    face keeps its raw cone digit; walking ccw around the vertex, the
+    following faces take the next digit directions ccw with K skipped
+    (the published H3 deleted-K-subsequence scheme, h3Index.c).  From
+    that assignment:
+      rot[bc, face]   ccw payload rotations raw cone digit -> sector label
+      kfix[bc, face]  ±1: rotation direction across the K gap when a
+                      boundary cell's rotated payload leads with K
+      sector_face[bc, digit], sector_corner[bc, face(axis)] for decode.
+    """
+    rot = np.zeros((122, 20), dtype=np.int64)
+    kfix = np.zeros((122, 20), dtype=np.int64)
+    sector_face = np.full((122, 7), -1, dtype=np.int64)
+    corner_axis = np.full((122, 20), -1, dtype=np.int64)
+
+    # geo positions of every face corner
+    corner_geo = np.zeros((20, 3, 2))  # lat, lon degrees
+    for a in range(3):
+        f = np.arange(20)
+        la, lo = _hex2d_res0_to_geo(
+            f, np.full(20, _CORNERS_XY[a, 0]), np.full(20, _CORNERS_XY[a, 1])
+        )
+        corner_geo[:, a, 0] = la
+        corner_geo[:, a, 1] = lo
+
+    def unit(lat_d, lon_d):
+        la, lo = np.radians(lat_d), np.radians(lon_d)
+        return np.array([np.cos(la) * np.cos(lo), np.cos(la) * np.sin(lo), np.sin(la)])
+
+    for bc0 in sorted(T.PENTAGON_CELLS):
+        vlat, vlon = np.degrees(T.BASE_CENTER_GEO[bc0])
+        v = unit(vlat, vlon)
+        touch = {}  # face -> corner axis at the vertex
+        for f in range(20):
+            for a in range(3):
+                if np.dot(unit(*corner_geo[f, a]), v) > 1 - 1e-9:
+                    touch[f] = a
+        assert len(touch) == 5, (bc0, touch)
+        home = int(T.HOME_FACE[bc0])
+        assert home in touch
+
+        # tangent-plane angles of face centers around the vertex
+        t1 = None
+        ang = {}
+        for f in touch:
+            fc = np.array(
+                [
+                    np.cos(T.FACE_CENTER_GEO[f, 0]) * np.cos(T.FACE_CENTER_GEO[f, 1]),
+                    np.cos(T.FACE_CENTER_GEO[f, 0]) * np.sin(T.FACE_CENTER_GEO[f, 1]),
+                    np.sin(T.FACE_CENTER_GEO[f, 0]),
+                ]
+            )
+            d = fc - np.dot(fc, v) * v
+            d /= np.linalg.norm(d)
+            if f == home:
+                t1 = d
+        t2 = np.cross(v, t1)
+        for f in touch:
+            fc = np.array(
+                [
+                    np.cos(T.FACE_CENTER_GEO[f, 0]) * np.cos(T.FACE_CENTER_GEO[f, 1]),
+                    np.cos(T.FACE_CENTER_GEO[f, 0]) * np.sin(T.FACE_CENTER_GEO[f, 1]),
+                    np.sin(T.FACE_CENTER_GEO[f, 0]),
+                ]
+            )
+            d = fc - np.dot(fc, v) * v
+            ang[f] = float(np.arctan2(np.dot(d, t2), np.dot(d, t1)))
+
+        # lattice-ccw direction of increasing tangent angle: probe a
+        # point 45° (tangent) ccw of the home cone and see whether the
+        # home-frame raw walk leads +60° or -60° from the cone digit
+        c_home = _CORNER_CONE_DIGIT[touch[home]]
+        rr = np.radians(2.0)
+        # probes deep inside the next-ccw (tangent) wedge: their
+        # home-frame raw walk leads ±60° from the home cone digit,
+        # fixing the tangent-vs-lattice orientation sign
+        probe_ang = np.radians(np.array([50.0, 60.0, 70.0]))
+        probe_dir = np.cos(probe_ang)[:, None] * t1 + np.sin(probe_ang)[:, None] * t2
+        p = np.cos(rr) * v + np.sin(rr) * probe_dir
+        plat = np.arcsin(np.clip(p[:, 2], -1, 1))
+        plon = np.arctan2(p[:, 1], p[:, 0])
+        x, y = _geo_to_hex2d(plat, plon, np.full(len(plat), home), 3)
+        i, j, k = _hex2d_to_ijk(x, y)
+        bits = np.zeros(len(plat), dtype=np.uint64)
+        for r in range(3, 0, -1):
+            li, lj, lk = i, j, k
+            if r % 2 == 1:
+                i, j, k = _up_ap7(i, j, k)
+                ci, cj, ck = _down_ap7(i, j, k)
+            else:
+                i, j, k = _up_ap7r(i, j, k)
+                ci, cj, ck = _down_ap7r(i, j, k)
+            di, dj, dk = _ijk_normalize(li - ci, lj - cj, lk - ck)
+            bits |= _DIGIT_LOOKUP[di, dj, dk].astype(np.uint64) << _U(3 * (15 - r))
+        d_probe = _leading_nonzero_digit(bits, 3)
+        steps = {
+            (_DIGIT_ANG60[int(d)] - _DIGIT_ANG60[c_home]) % 6 for d in d_probe
+        } & {1, 5}
+        assert len(steps) == 1, (bc0, d_probe.tolist(), c_home)
+        sign = 1 if steps.pop() == 1 else -1  # +tangent angle == lattice ccw?
+
+        order = sorted(touch, key=lambda f: (sign * (ang[f] - ang[home])) % (2 * np.pi))
+        assert order[0] == home
+        # labels ccw from home's cone digit, skipping K
+        labels = []
+        a60 = _DIGIT_ANG60[c_home]
+        for _ in range(5):
+            labels.append(_ANG60_DIGIT[a60])
+            a60 = (a60 + 1) % 6
+            if _ANG60_DIGIT[a60] == 1:  # skip the deleted K direction
+                a60 = (a60 + 1) % 6
+        for f, lab in zip(order, labels):
+            c_f = _CORNER_CONE_DIGIT[touch[f]]
+            rot[bc0, f] = (_DIGIT_ANG60[lab] - _DIGIT_ANG60[c_f]) % 6
+            sector_face[bc0, lab] = f
+            corner_axis[bc0, f] = touch[f]
+            # K-gap adjacency: +1 (ccw) if K is this sector's ccw
+            # neighbour, -1 (cw) if K is its cw neighbour
+            if (_DIGIT_ANG60[lab] + 1) % 6 == _DIGIT_ANG60[1]:
+                kfix[bc0, f] = 1
+            elif (_DIGIT_ANG60[lab] - 1) % 6 == _DIGIT_ANG60[1]:
+                kfix[bc0, f] = -1
+        sector_face[bc0, 0] = home  # all-zero payload: the pentagon itself
+    return {
+        "rot": rot,
+        "kfix": kfix,
+        "sector_face": sector_face,
+        "corner_axis": corner_axis,
+    }
+
+
+def _pent_tables() -> dict:
+    global _PENT_TABLES
+    if _PENT_TABLES is None:
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(T.__file__)), "_pent_cache_v1.npz"
+        )
+        if os.path.exists(path):
+            try:
+                z = np.load(path, allow_pickle=False)
+                _PENT_TABLES = {k: z[k] for k in z.files}
+                return _PENT_TABLES
+            except Exception:
+                pass
+        _PENT_TABLES = _derive_pent_tables()
+        try:
+            np.savez(path, **_PENT_TABLES)
+        except OSError:
+            pass
+    return _PENT_TABLES
 
 
 # ------------------------------------------------------------- inverse
@@ -264,10 +522,37 @@ def _cells_to_substrate_ijk(cells: np.ndarray):
         raise ValueError("mixed resolutions in batch")
     r0 = int(res[0])
     bc = ((cells >> _U(45)) & _U(127)).astype(np.int64)
+    pent = T.IS_PENTAGON[bc]
     face = T.HOME_FACE[bc].copy()
     i = T.HOME_IJK[bc, 0].copy()
     j = T.HOME_IJK[bc, 1].copy()
     k = T.HOME_IJK[bc, 2].copy()
+    if r0 > 0 and pent.any():
+        # pentagon cells decode per-sector: the leading nonzero digit
+        # names the sector, each sector lives wholly on one of the five
+        # faces around the icosahedron vertex, and the payload rotates
+        # back (cw) into that face's raw cone frame — a single-face walk
+        # with no multi-fold path around the vertex (see _pent_tables).
+        PT = _pent_tables()
+        lead = _leading_nonzero_digit(cells, r0)
+        pf = PT["sector_face"][bc[pent], lead[pent]]
+        if (pf < 0).any():
+            raise ValueError("non-canonical pentagon cell (leading K digit)")
+        ca = PT["corner_axis"][bc[pent], pf]
+        corner = np.array([[2, 0, 0], [0, 2, 0], [0, 0, 2]])[ca]
+        face[pent] = pf
+        i[pent], j[pent], k[pent] = corner[:, 0], corner[:, 1], corner[:, 2]
+        t = PT["rot"][bc[pent], pf]
+        cells = cells.copy()
+        sub_cells = cells[pent]
+        for rot in range(1, 6):
+            mm = t >= rot
+            if mm.any():
+                sub_cells[mm] = _rotate_digits(sub_cells[mm], r0, _ROT_CW)
+        cells[pent] = sub_cells
+    # walk matches libh3 _h3ToFaceIjkWithInitializedFijk: the aperture
+    # steps normalize (as libh3's _downAp7 does internally) while the
+    # digit add stays raw — the overage test below reads coordinate sums.
     for r in range(1, r0 + 1):
         if r % 2 == 1:
             i, j, k = _down_ap7(i, j, k)
@@ -275,12 +560,47 @@ def _cells_to_substrate_ijk(cells: np.ndarray):
             i, j, k = _down_ap7r(i, j, k)
         d = ((cells >> _U(3 * (15 - r))) & _U(7)).astype(np.int64)
         u = _UNIT_VECS[d]
-        i, j, k = _ijk_normalize(i + u[:, 0], j + u[:, 1], k + u[:, 2])
+        i, j, k = i + u[:, 0], j + u[:, 1], k + u[:, 2]
     sub = r0
     if r0 % 2 == 1:  # class III -> class II substrate one res down
         i, j, k = _down_ap7r(i, j, k)
         sub = r0 + 1
+    # single-step overage adjustment onto the true face (libh3
+    # _adjustOverageClassII for the hexagon case; pentagon sectors are
+    # single-face by construction, so at most one edge crossing remains
+    # for boundary cells of either kind)
+    if r0 > 0:
+        face, i, j, k = _adjust_overage_class2(face, i, j, k, sub)
     return face, i, j, k, sub
+
+
+def _adjust_overage_class2(face, i, j, k, sub: int):
+    """Vectorized libh3 _adjustOverageClassII (faceijk.c, published
+    algorithm): cells whose face walk overshoots the face triangle are
+    re-expressed on the adjacent face via exact lattice transforms
+    (rotation count + translation derived from the fold data)."""
+    max_dim = 2 * 7 ** (sub // 2)
+    unit_scale = 7 ** (sub // 2)
+    over = (i + j + k) > max_dim
+    if not over.any():
+        return face, i, j, k
+    face = face.copy()
+    i, j, k = i.copy(), j.copy(), k.copy()
+    # quadrant from the raw (pre-normalization) coordinates
+    quad = np.where(k > 0, np.where(j > 0, 0, 1), 2)  # JK, KI, IJ edges
+    sel = np.nonzero(over)[0]
+    f0, q0 = face[sel], quad[sel]
+    gi, gj, gk = i[sel], j[sel], k[sel]
+    rot = _FOLD_K[f0, q0]
+    for r in range(1, 6):
+        mm = rot >= r
+        if mm.any():
+            gi[mm], gj[mm], gk[mm] = _ijk_rotate60ccw(gi[mm], gj[mm], gk[mm])
+    tv = _NEIGH_T_IJK[f0, q0] * unit_scale
+    gi, gj, gk = _ijk_normalize(gi + tv[:, 0], gj + tv[:, 1], gk + tv[:, 2])
+    face[sel] = _FOLD_FACE[f0, q0]
+    i[sel], j[sel], k[sel] = gi, gj, gk
+    return face, i, j, k
 
 
 def _substrate_to_geo(face, i, j, k, sub):
@@ -566,3 +886,55 @@ def mean_center_spacing_deg(res: int) -> float:
     nlat, nlon = cell_to_latlng(nb[0])
     d = np.sqrt((nlat - lat0[0]) ** 2 + (nlon - lon0[0]) ** 2)
     return float(d.min())
+
+
+_MIN_SPACING_CACHE: dict[int, float] = {}
+
+
+def min_center_spacing_deg(res: int) -> float:
+    """GLOBAL lower bound on neighbor center spacing (great-circle
+    degrees) at ``res``: the minimum over face centers, face corners
+    (max hex distortion), and pentagon vertices, with a 5% safety
+    margin.  A planar lat/lon-degree distance is never smaller than the
+    great-circle degree distance, so this bounds both metrics.  Fixes
+    the one-point-sample hazard (a single face-interior sample is ~1.3×
+    the true global minimum)."""
+    if res in _MIN_SPACING_CACHE:
+        return _MIN_SPACING_CACHE[res]
+    lats = [np.degrees(T.FACE_CENTER_GEO[:, 0])]
+    lons = [np.degrees(T.FACE_CENTER_GEO[:, 1])]
+    pents = sorted(T.PENTAGON_CELLS)
+    lats.append(np.degrees(T.BASE_CENTER_GEO[pents, 0]) + 0.5)
+    lons.append(np.degrees(T.BASE_CENTER_GEO[pents, 1]) + 0.5)
+    # face corners approached from slightly inside (every max-distortion
+    # region of the gnomonic projection)
+    for a in range(3):
+        xy = _CORNERS_XY[a] * 0.9
+        la, lo = _hex2d_res0_to_geo(
+            np.arange(20), np.full(20, xy[0]), np.full(20, xy[1])
+        )
+        lats.append(la)
+        lons.append(lo)
+    lat = np.concatenate(lats)
+    lon = np.concatenate(lons)
+    c = latlng_to_cell(lat, lon, res)
+    nb = neighbors(c)
+    lat0, lon0 = cell_to_latlng(c)
+    best = np.inf
+    la0, lo0 = np.radians(lat0), np.radians(lon0)
+    for col in range(6):
+        nlat, nlon = cell_to_latlng(nb[:, col])
+        la1, lo1 = np.radians(nlat), np.radians(nlon)
+        gc = np.arccos(
+            np.clip(
+                np.sin(la0) * np.sin(la1) + np.cos(la0) * np.cos(la1) * np.cos(lo0 - lo1),
+                -1,
+                1,
+            )
+        )
+        pos = gc[gc > 1e-12]
+        if len(pos):
+            best = min(best, float(np.degrees(pos.min())))
+    out = best * 0.95
+    _MIN_SPACING_CACHE[res] = out
+    return out
