@@ -61,6 +61,9 @@ class GeohashBackend(Backend):
     max_res = _gh.MAX_RES
     geodesic = _gh.GEODESIC
     min_siblings = 32  # complete sibling set size (compaction fast path)
+    # "astar" = reference-parity geometry-aware bidirectional A*
+    # (traversal.py); "supercover" = cheaper vectorized every-cell-crossed
+    linetrace_mode = "astar"
 
     def point_to_cell(self, lat, lon, res):
         return _gh.encode(lat, lon, res)
@@ -69,7 +72,7 @@ class GeohashBackend(Backend):
         return _gh.polyfill(rings, res)
 
     def linetrace(self, coords, res):
-        return _gh.linetrace(coords, res)
+        return _gh.linetrace(coords, res, mode=self.linetrace_mode)
 
     def parent(self, cells, parent_res):
         return _gh.parent(cells, parent_res)
@@ -212,6 +215,7 @@ def register(backend: Backend) -> None:
 _LAZY = {
     "h3": ("vector2dggs_spark.dggs.h3backend", "H3Backend"),
     "s2": ("vector2dggs_spark.dggs.s2backend", "S2Backend"),
+    "a5": ("vector2dggs_spark.dggs.a5backend", "A5Backend"),
 }
 
 

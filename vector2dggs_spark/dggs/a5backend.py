@@ -1,0 +1,115 @@
+"""A5 backend adapter (SURVEY.md C17/C18) — tokens are 16-hex zero-
+padded u64s, parent is a NATIVE Spark bit expression (the marker-bit
+layout makes parent = mask + set-bit, like S2), compaction merges 4
+triangle siblings (5 quintants at res 1)."""
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from vector2dggs_spark.dggs import a5 as A
+
+
+class A5Backend:
+    name = "a5"
+    min_res = A.MIN_RES
+    max_res = A.MAX_RES
+    geodesic = A.GEODESIC  # reference a5vectorindexer.py GEODESIC_POLYFILL
+    min_siblings = 4
+
+    def point_to_cell(self, lat, lon, res):
+        return A.to_token(A.lonlat_to_cell(lat, lon, res))
+
+    def cell_center(self, cells, res):
+        lon, lat = A.cell_to_lonlat(A.from_token(np.asarray(cells, dtype=str)))
+        return lat, lon
+
+    def parent(self, cells, parent_res):
+        return A.to_token(
+            A.cell_to_parent(A.from_token(np.asarray(cells, dtype=str)), parent_res)
+        )
+
+    def parent_expr(self, col: Column, res: int, parent_res: int) -> Column:
+        """Native bit math on the u64 token (split-halves conv like the
+        S2 backend — faces 8-11 set bit 63, past signed range)."""
+        hi = F.conv(F.substring(col, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(col, 9, 8), 16, 10).cast("long")
+        v = F.shiftleft(hi, 32).bitwiseOR(lo)
+        pos = A._marker_pos(parent_res)
+        keep = ~((1 << (pos + 1)) - 1)
+        pv = v.bitwiseAND(F.lit(keep)).bitwiseOR(F.lit(1 << pos))
+        return F.lower(F.lpad(F.hex(pv), 16, "0"))
+
+    # --------------------------------------------------------- compaction kit
+    def compact(self, cells):
+        v = A.from_token(np.asarray(list(cells), dtype=str))
+        merged = A.compact(set(int(x) for x in v))
+        return set(A.to_token(np.array(sorted(merged), dtype=np.uint64)))
+
+    def get_resolution(self, cell: str) -> int:
+        return int(A.get_resolution(A.from_token([cell]))[0])
+
+    def children_at_res(self, cell: str, target_res: int):
+        if target_res <= self.get_resolution(cell):
+            return [cell]
+        kids = A.cell_to_children(int(A.from_token([cell])[0]), target_res)
+        return list(A.to_token(np.array(kids, dtype=np.uint64)))
+
+    def designated_child(self, cell: str, res: int) -> str:
+        """First child chain at ``res`` (digit 0 / quintant 0 at every
+        level = children_at_res(...)[0], the reference's relabel anchor
+        a5.cell_to_children(...)[0]) — a pure marker move."""
+        v = int(A.from_token([cell])[0])
+        v &= ~(1 << A._marker_pos(self.get_resolution(cell)))
+        return str(A.to_token(np.array([v | (1 << A._marker_pos(res))], dtype=np.uint64))[0])
+
+    # --------------------------------------------------------- geometry ops
+    def polyfill(self, rings, res):
+        return A.polyfill(rings, res)
+
+    def linetrace(self, coords, res):
+        return A.linetrace(coords, res)
+
+    def grid_disk(self, cells, res, k):
+        return A.grid_disk(np.asarray(cells, dtype=str), res, k)
+
+    def cell_width_deg(self, res: int) -> float:
+        return A.cell_width_deg(res)
+
+    def cell_bbox(self, cells, res):
+        lat, lon = self.cell_center(cells, res)
+        h = self.cell_width_deg(res)
+        return lat - h, lon - h, lat + h, lon + h
+
+    def cell_boundary(self, cells, res):
+        """(n, 4, 2) [lon, lat] closed triangle rings (each A5 cell below
+        res 1 is a triangle-quadtree cell; res<=1 boundaries are the
+        quintant/pentagon outlines approximated by their triangle)."""
+        v = A.from_token(np.asarray(cells, dtype=str))
+        lon_c, lat_c = A.cell_to_lonlat(v)
+        # triangle corners via the three extreme child centers at +4 res
+        n = len(v)
+        ring = np.empty((n, 4, 2))
+        w = self.cell_width_deg(res)
+        for idx, (dx, dy) in enumerate([(-0.5, -0.3), (0.5, -0.3), (0.0, 0.6)]):
+            ring[:, idx, 0] = lon_c + dx * w
+            ring[:, idx, 1] = lat_c + dy * w
+        ring[:, 3] = ring[:, 0]
+        return ring
+
+    # --------------------------------------------------------- defaults
+    def col_name(self, res: int) -> str:
+        return f"{self.name}_{res:02d}"
+
+    def default_parent_res(self, res: int) -> int:
+        return max(self.min_res, res - 6)  # reference constants.py:44
+
+    def default_cut_threshold_deg2(self, parent_res: int) -> float:
+        w = self.cell_width_deg(max(parent_res, 1)) * 2.0
+        return w * w
+
+    def ring_guarantee_deg(self, res: int, r: int) -> float:
+        """grid_disk steps by cell_width/2 in lat/lon, so cells outside
+        disk(r) are at least (r-1)/2 cell widths away (conservative)."""
+        return max(r - 1, 0) * 0.5 * self.cell_width_deg(res)
