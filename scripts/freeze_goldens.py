@@ -1,0 +1,63 @@
+"""Freeze golden hashes for the rows-only contract pipelines.
+
+The DGGS pipeline queries (polyfill / compaction / rhp / h3 / s2 / a5)
+have no SQL oracle, so the driver only row-counts them.  This script
+pins their exact canonicalized output (sorted columns, sorted rows,
+md5) so regressions cannot hide behind a stable row count
+(tests/test_golden_pipelines.py enforces the hashes; VERDICT r01 #9).
+
+Inputs are the deterministic synthesized documents corpus (seeded),
+so the hashes are independent of the sf parquet directory.
+
+Usage: python scripts/freeze_goldens.py  (rewrites tests/golden/pipelines.json)
+"""
+import hashlib
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+GOLDEN_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "tests", "golden", "pipelines.json"
+)
+ROWS_ONLY = [
+    "q14_polyfill_pipeline_geohash",
+    "q15_compaction_pipeline",
+    "q16_pipeline_rhp",
+    "q18_pipeline_h3",
+    "q23_pipeline_s2",
+    "q24_pipeline_a5",
+]
+
+
+def canon_md5(pdf) -> str:
+    cols = sorted(pdf.columns)
+    p = pdf[cols].sort_values(cols).reset_index(drop=True)
+    return hashlib.md5(p.to_csv(index=False).encode()).hexdigest()
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from vector2dggs_spark.entrypoints import QUERIES
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    out = {}
+    for name in ROWS_ONLY:
+        fn, _ = QUERIES[name]
+        pdf = fn(spark, "/root/testdata/sf0.001").toPandas()
+        out[name] = {"rows": len(pdf), "md5": canon_md5(pdf)}
+        print(name, out[name])
+    os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
+    with open(GOLDEN_PATH, "w") as f:
+        json.dump(out, f, indent=2, sort_keys=True)
+    print("wrote", GOLDEN_PATH)
+
+
+if __name__ == "__main__":
+    main()

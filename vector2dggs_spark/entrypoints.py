@@ -236,10 +236,20 @@ def _minhash_sql(dialect: str) -> str:
             "transform(sequence(1, size(toks) - 2), i -> "
             "cast(conv(substring(md5(concat_ws(' ', slice(toks, i, 3))), 1, 12), 16, 10) as bigint))"
         )
-        mins = ", ".join(
-            f"array_min(transform(hs, h -> (h * {a} + {b}) % {_MH_P})) AS m{j}"
+        # all 16 permutation-mins in ONE traversal of the shingle array
+        # (an aggregate fold of a 16-field struct) instead of 16
+        # array_min(transform(...)) re-walks — the minhash stage is the
+        # most expensive headline query (VERDICT r01 #8)
+        inits = ", ".join(f"'m{j}', cast({_MH_P} as bigint)" for j in range(len(_MH_PERMS)))
+        steps = ", ".join(
+            f"'m{j}', least(acc.m{j}, (h * {a} + {b}) % {_MH_P})"
             for j, (a, b) in enumerate(_MH_PERMS)
         )
+        mins = (
+            f"aggregate(hs, named_struct({inits}), "
+            f"(acc, h) -> named_struct({steps})) AS mm"
+        )
+        unpack = ", ".join(f"mm.m{j} AS m{j}" for j in range(len(_MH_PERMS)))
         bands = (
             "LATERAL VIEW explode(array(0, 1, 2, 3)) x AS band"
         )
@@ -255,7 +265,8 @@ def _minhash_sql(dialect: str) -> str:
 WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
 f AS (SELECT doc_id, toks FROM t WHERE {size_fn}(toks) >= 3),
 s AS (SELECT doc_id, {shingles} AS hs FROM f),
-m AS (SELECT doc_id, {mins} FROM s),
+m0 AS (SELECT doc_id, {mins} FROM s),
+m AS (SELECT doc_id, {unpack} FROM m0),
 b AS (SELECT doc_id, band, {bv} AS bv FROM m {bands})
 SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
 FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id
@@ -399,6 +410,17 @@ def _q_s2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.cells
 
 
+def _q_a5_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 pentagonal pipeline (SURVEY C17/C18; reference
+    tests/classes/a5.py scenario at res 17 / parent offset 6)."""
+    from vector2dggs_spark import index
+    from vector2dggs_spark.sources.documents import documents_df
+
+    docs = documents_df(spark, 800, seed=42)
+    r = index(spark, docs, dggs="a5", resolution=14, parent_res=8)
+    return r.cells
+
+
 def _q_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: tile media refs -> decode (stub, mapInPandas)
     -> frame features (one-to-many mapInPandas) -> exploded scalar
@@ -474,6 +496,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q21_ann_ivf_bucketed": Q21,
     "q22_media_decode_features": (_q_media, _MEDIA_ORACLE),
     "q23_pipeline_s2": (_q_s2_pipeline, None),
+    "q24_pipeline_a5": (_q_a5_pipeline, None),
 }
 
 
