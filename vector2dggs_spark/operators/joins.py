@@ -29,26 +29,61 @@ def cell_join(
     how: str = "inner",
     broadcast_right: bool = False,
     salt: int | None = None,
+    hot_threshold: int = 10_000,
 ) -> DataFrame:
     """Spatial join of two cell tables on the shared cell-ID column.
 
     Both sides must be indexed at the same resolution (J1).  For skewed
-    cell distributions (hot parent cells), pass ``salt=N``: the left side
-    gets a random salt 0..N-1 and the right side is replicated N ways, so
-    one hot cell fans across N tasks (north-rule skew handling; AQE
-    skew-join is also on by default in sessions from ``get_spark``).
+    cell distributions (hot parent cells), pass ``salt=N``: HOT keys only
+    (left-side count > ``hot_threshold``) are salted — the hot left rows
+    get a deterministic per-row salt (``pmod(xxhash64(row), N)``, stable
+    under task retries, unlike rand()) and only the hot right rows are
+    replicated N ways; the cold remainder joins plain and the two halves
+    union.  Blanket salting (replicate the whole right side) measured
+    3.7× SLOWER than plain at bench scale — targeted salting keeps the
+    replication cost proportional to the skew.  AQE skew-join remains on
+    as the runtime backstop.
     """
     if broadcast_right:
         return left.join(F.broadcast(right), cell_col, how)
+    if salt and how not in ("inner", "left", "left_semi"):
+        salt = None  # split-and-union salting is only sound for these
     if salt:
-        lk = left.withColumn("__salt", (F.rand(seed=0) * salt).cast("int"))
-        rk = right.crossJoin(
+        spark = left.sparkSession
+        # hot-key detection on a sample: a key with > hot_threshold rows
+        # appears ~frac·threshold times in the sample, so detection costs
+        # one cheap scan, not a full-data shuffle
+        frac = min(1.0, 50.0 / max(hot_threshold, 1))
+        hot_rows = (
+            left.select(cell_col)
+            .sample(fraction=frac, seed=7)
+            .groupBy(cell_col)
+            .count()
+            .where(F.col("count") > hot_threshold * frac * 0.5)
+            .orderBy(F.col("count").desc())
+            .select(cell_col)
+            .limit(10_000)  # bounded driver payload even at extreme skew
+            .collect()
+        )
+        if not hot_rows:
+            return left.join(right, cell_col, how)  # nothing hot: plain
+        hot = spark.createDataFrame(hot_rows)
+        l_hot = left.join(F.broadcast(hot), cell_col, "left_semi").withColumn(
+            "__salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int")
+        )
+        r_hot = right.join(F.broadcast(hot), cell_col, "left_semi").crossJoin(
             F.broadcast(
-                left.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
+                spark.range(salt).select(F.col("id").cast("int").alias("__salt"))
             )
         )
-        out = lk.join(rk, [cell_col, "__salt"], how).drop("__salt")
-        return out
+        # the replicated hot-right side is small by construction (few hot
+        # keys × salt); broadcast it so the hot branch is a map-side hash
+        # join across salt buckets, never a sort-merge on ~salt keys
+        hot_out = l_hot.join(F.broadcast(r_hot), [cell_col, "__salt"], how).drop("__salt")
+        cold_out = left.join(F.broadcast(hot), cell_col, "left_anti").join(
+            right, cell_col, how
+        )
+        return cold_out.unionByName(hot_out)
     return left.join(right, cell_col, how)
 
 
@@ -116,10 +151,18 @@ def knn(
     cells at ``res``; ring r joins each pending query's grid-disk(r)
     against the target cells; a query finishes when its k-th candidate
     distance is covered by the backend's ring guarantee radius
-    (``Backend.ring_guarantee_deg``: tight Chebyshev bound for the
-    square geohash grid, conservative (r−1)·0.8·width for hex grids), so
-    the result is exact for every backend.  Driver loops over doubling
-    ring radii; all data movement is joins — no collected rows.
+    (``Backend.ring_guarantee_deg``).  Exactness: geohash's bound is
+    tight (square Chebyshev grid) and h3's is a provably conservative
+    global-minimum-spacing bound over exact lattice disks; s2/rhp/a5
+    disks step angularly, so their results are exact under the
+    documented oversampling margin and verified empirically by the
+    contract oracles (q06/q17).  Driver loops over doubling ring radii;
+    all data movement is joins — no collected rows.
+
+    Loop hygiene for scale: each round's finished rows are persisted the
+    moment they are computed and superseded ``pending`` caches are
+    unpersisted, so the final result triggers no re-execution of earlier
+    rings and executor storage stays bounded by the live round.
 
     Returns (query_id, target_id, dist_sq, rank) with rank 1..k by
     (dist_sq, target_id) — deterministic under ties.
@@ -137,6 +180,8 @@ def knn(
     ).withColumn("__cell", cell_udf("__tlat", "__tlon")).cache()
 
     pending = q.cache()
+    rounds: list[DataFrame] = []
+    to_unpersist: list[DataFrame] = []
     found: DataFrame | None = None
     r = 1
     while r <= max_ring:
@@ -162,13 +207,26 @@ def knn(
         stats = ranked.groupBy("__qid").agg(
             F.count("*").alias("n"), F.max("dist_sq").alias("kth")
         )
-        done_ids = stats.where((F.col("n") >= k) & (F.col("kth") <= guarantee)).select("__qid")
-        newly_done = ranked.join(done_ids, "__qid")
-        found = newly_done if found is None else found.unionByName(newly_done)
+        done_ids = (
+            stats.where((F.col("n") >= k) & (F.col("kth") <= guarantee))
+            .select("__qid")
+            .persist()
+        )
+        newly_done = ranked.join(done_ids, "__qid").persist()
+        newly_done.count()  # materialize this round's results exactly once
+        rounds.append(newly_done)
+        to_unpersist.append(done_ids)
+        prev_pending = pending
         pending = pending.join(done_ids, "__qid", "left_anti").cache()
-        if pending.isEmpty():
+        empty = pending.isEmpty()  # reuses the cached done_ids
+        prev_pending.unpersist()
+        if empty:
             break
         r *= 2
+    if rounds:
+        found = rounds[0]
+        for extra in rounds[1:]:
+            found = found.unionByName(extra)
     if pending is not None and not pending.isEmpty() and r > max_ring:
         # fallback: exhausted ring budget — take best-effort top-k found
         disk = grid_disk_udf(backend, res, max_ring)
@@ -189,7 +247,14 @@ def knn(
                 W.partitionBy("__qid").orderBy(F.col("dist_sq"), F.col("__tid"))
             ),
         ).where(F.col("rank") <= k)
+        ranked = ranked.persist()
+        ranked.count()
         found = ranked if found is None else found.unionByName(ranked)
+    # per-round results are materialized: intermediate state can go now
+    for df in to_unpersist:
+        df.unpersist()
+    pending.unpersist()
+    t.unpersist()
     assert found is not None
     return found.select(
         F.col("__qid").alias(query_id),

@@ -86,19 +86,35 @@ def drop_ratio_metric(n_before: int, n_after: int, what: str) -> dict:
 
 
 # ------------------------------------------------------------------ lineage
+LINEAGE_DATA = "_lineage"
+
+
 def write_lineage(
     cells: DataFrame, output: str, parent_col: str, config: dict
 ) -> dict:
     """Per-parent-cell row counts + config — the partition-level lineage
-    record for the partitioned output (north rule)."""
-    counts = {
-        r[parent_col]: r["n"]
-        for r in cells.groupBy(parent_col).agg(F.count("*").alias("n")).collect()
-    }
+    record for the partitioned output (north rule).
+
+    The per-partition counts are written as a Spark JSON *dataset*
+    (``output/_lineage``), never collected to the driver: at fine parent
+    resolutions the partition map is itself big data (a driver-side dict
+    was the round-1 OOM hazard).  Only the O(1) summary (config, total)
+    lands in the driver-side ``_LINEAGE.json``."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    counts = (
+        cells.groupBy(parent_col)
+        .agg(F.count("*").alias("n"))
+        .observe(obs, F.sum("n").alias("t"), F.count(F.lit(1)).alias("p"))
+    )
+    counts.write.mode("overwrite").json(os.path.join(output, LINEAGE_DATA))
+    totals = obs.get  # filled by the write action — no extra pass
     lineage = {
         "parent_col": parent_col,
-        "partitions": counts,
-        "total_rows": int(sum(counts.values())),
+        "lineage_data": LINEAGE_DATA,
+        "n_partitions": int(totals["p"] or 0),
+        "total_rows": int(totals["t"] or 0),
         "config": config,
         "written_at": time.time(),
     }
@@ -107,28 +123,36 @@ def write_lineage(
     return lineage
 
 
-def verify_lineage(spark: SparkSession, output: str) -> dict:
-    """Re-count each Hive partition and diff against the lineage record.
+def verify_lineage(spark: SparkSession, output: str, max_report: int = 1000) -> dict:
+    """Re-count each Hive partition and diff against the lineage dataset
+    — the diff is a JOIN, not a driver-side loop; only the mismatching
+    rows (capped at ``max_report``) are collected.
     Returns {partition: (expected, actual)} for mismatches (empty = OK)."""
     with open(os.path.join(output, LINEAGE)) as f:
         lineage = json.load(f)
     parent_col = lineage["parent_col"]
+    expected = (
+        spark.read.json(os.path.join(output, lineage.get("lineage_data", LINEAGE_DATA)))
+        .select(F.col(parent_col).cast("string").alias("__p"), F.col("n").alias("expected"))
+    )
     try:
         df = spark.read.parquet(output)
-        actual = {
-            str(r[parent_col]): r["n"]
-            for r in df.groupBy(parent_col).agg(F.count("*").alias("n")).collect()
-        }
+        actual = df.groupBy(
+            F.col(parent_col).cast("string").alias("__p")
+        ).agg(F.count("*").alias("actual"))
     except Exception:  # dataset unreadable/empty -> everything is missing
-        actual = {}
-    bad = {}
-    for p, n in lineage["partitions"].items():
-        if actual.get(p) != n:
-            bad[p] = (n, actual.get(p, 0))
-    for p, n in actual.items():
-        if p not in lineage["partitions"]:
-            bad[p] = (0, n)
-    return bad
+        actual = spark.createDataFrame([], "__p string, actual long")
+    diff = (
+        expected.join(actual, "__p", "full_outer")
+        .where(
+            ~(F.coalesce(F.col("expected"), F.lit(0)) == F.coalesce(F.col("actual"), F.lit(0)))
+        )
+        .limit(max_report)
+    )
+    return {
+        r["__p"]: (int(r["expected"] or 0), int(r["actual"] or 0))
+        for r in diff.collect()
+    }
 
 
 def repair_partition(
@@ -186,12 +210,36 @@ def index_checkpointed(
         cut = backend.default_cut_threshold_deg2(parent_res)
     fp = f"{fingerprint}|{dggs}|r{resolution}|p{parent_res}|c{cut}"
 
-    geoms = extract_geometries(docs)
-    n_geoms = geoms.count()
-    prepared = prepare(geoms, backend, cut)
-    prepared = stage_checkpoint(prepared, checkpoint_dir, "prepare", fp)
-    m_prep = read_manifest(checkpoint_dir, "prepare")
-    metrics = drop_ratio_metric(n_geoms, int(prepared.select("part_uid").distinct().count()), "prepare")
+    from pyspark.sql import Observation
+
+    m_prev = read_manifest(checkpoint_dir, "prepare")
+    if m_prev and m_prev.get("fingerprint") == fp:
+        # stage reuse: no action runs, so reuse the recorded metrics too
+        prepared = spark.read.parquet(os.path.join(checkpoint_dir, "prepare", "data"))
+        metrics = m_prev.get("metrics") or {}
+    else:
+        # input-feature count via observe(): piggybacks on the
+        # prepare-stage write action instead of a separate full count
+        # job over the inputs (SURVEY A6)
+        obs_in = Observation()
+        geoms = extract_geometries(docs).observe(obs_in, F.count(F.lit(1)).alias("n"))
+        prepared = prepare(geoms, backend, cut)
+        prepared = stage_checkpoint(prepared, checkpoint_dir, "prepare", fp)
+        n_geoms = int(obs_in.get["n"] or 0)
+        # surviving-feature count: a column-pruned scan of the
+        # materialized stage parquet (one column of the checkpoint, not
+        # a pipeline recompute)
+        n_kept = int(
+            prepared.select(F.substring_index("part_uid", "#", 2).alias("f"))
+            .distinct()
+            .count()
+        )
+        metrics = drop_ratio_metric(n_geoms, n_kept, "prepare")
+        m_cur = read_manifest(checkpoint_dir, "prepare")
+        if m_cur is not None:
+            m_cur["metrics"] = metrics
+            with open(_manifest_path(os.path.join(checkpoint_dir, "prepare")), "w") as f:
+                json.dump(m_cur, f, indent=2)
 
     cells = index_cells(prepared.repartitionByRange("sort_key"), backend, resolution)
     lines = cells.where(F.col("geom_type") == "LineString").dropDuplicates(["doc_id", "cell"])

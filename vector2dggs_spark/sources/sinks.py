@@ -103,7 +103,7 @@ def write_geoparquet(
         .partitionBy(result.parent_col)
         .parquet(output)
     )
-    attach_geo_metadata(output, mode)
+    attach_geo_metadata(output, mode, compression=compression)
 
 
 def _wkb_bounds(wkb_col) -> tuple[float, float, float, float]:
@@ -127,9 +127,11 @@ def _wkb_bounds(wkb_col) -> tuple[float, float, float, float]:
     return float(minx), float(miny), float(maxx), float(maxy)
 
 
-def attach_geo_metadata(output: str, mode: str) -> int:
+def attach_geo_metadata(output: str, mode: str, compression: str = "snappy") -> int:
     """Rewrite each data file's footer with GeoParquet 1.1.0 ``geo``
-    metadata (bbox + geometry_types per file)."""
+    metadata (bbox + geometry_types per file), preserving the requested
+    compression codec (the round-1 version silently re-encoded to
+    snappy, discarding --compression)."""
     gtype = "Point" if mode == "point" else "Polygon"
     n = 0
     for root, _dirs, files in os.walk(output):
@@ -155,6 +157,8 @@ def attach_geo_metadata(output: str, mode: str) -> int:
             }
             meta = dict(table.schema.metadata or {})
             meta[b"geo"] = json.dumps(geo_meta).encode()
-            pq.write_table(table.replace_schema_metadata(meta), path)
+            pq.write_table(
+                table.replace_schema_metadata(meta), path, compression=compression
+            )
             n += 1
     return n
