@@ -3,6 +3,7 @@ import numpy as np
 import pytest
 
 from vector2dggs_spark.dggs import geohash as gh
+from vector2dggs_spark.dggs import geohash as G
 
 # Published vectors: Wikipedia "Geohash" article + original geohash.org
 # examples — public knowledge, exact.
@@ -131,3 +132,74 @@ def test_linetrace_connected_and_dedup():
         assert any(
             (x + dx, y + dy) in s for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)
         )
+
+
+# ------------------------------------------------------------- A* linetrace
+def test_linetrace_astar_straight_equals_supercover():
+    """On an axis-aligned segment the optimal A* path IS the supercover."""
+    c = np.array([[-176.5, -44.1], [-176.3, -44.1]])
+    assert set(G.linetrace_astar(c, 6)) == set(G.linetrace_supercover(c, 6))
+
+
+def test_linetrace_astar_skips_corner_cells():
+    """Diagonal: the A* path legitimately skips corner-touched cells the
+    supercover includes (the reference-parity distinction, VERDICT C14)."""
+    c = np.array([[-176.5, -44.2], [-176.3, -44.0]])
+    a = set(G.linetrace_astar(c, 6))
+    s = set(G.linetrace_supercover(c, 6))
+    assert a <= s and len(a) < len(s)
+    ends = set(G.encode(c[:, 1], c[:, 0], 6))
+    assert ends <= a
+
+
+def test_linetrace_astar_cost_optimal_vs_dijkstra():
+    """Independent oracle: the A* meeting path cost equals the true
+    minimum path cost from a plain Dijkstra over the same step costs
+    (1 + w·perp-distance), so the bidirectional termination is sound."""
+    import heapq
+
+    w = 1.0
+    seg = ((-176.48, -44.18), (-176.33, -44.04))
+    prec = 5
+    dlat, dlon = G.cell_dims(prec)
+    nx, ny = int(round(360 / dlon)), int(round(180 / dlat))
+
+    def cell_of(lon, lat):
+        return (int((lon + 180) / dlon), int((lat + 90) / dlat))
+
+    def cost(c):
+        lon = (c[0] + 0.5) * dlon - 180
+        lat = (c[1] + 0.5) * dlat - 90
+        return 1.0 + w * G._pt_seg_dist(lon, lat, seg[0], seg[1])
+
+    s, e = cell_of(*seg[0]), cell_of(*seg[1])
+    dist = {s: 0.0}
+    heap = [(0.0, s)]
+    while heap:
+        d, cur = heapq.heappop(heap)
+        if cur == e:
+            break
+        if d > dist.get(cur, float("inf")):
+            continue
+        for nb in G._cell_grid_neighbors(cur[0], cur[1], nx, ny):
+            nd = d + cost(nb)
+            if nd < dist.get(nb, float("inf")):
+                dist[nb] = nd
+                heapq.heappush(heap, (nd, nb))
+    optimal = dist[e]
+
+    path = G._astar_segment_cells(
+        seg[0][0] + 180, seg[0][1] + 90, seg[1][0] + 180, seg[1][1] + 90,
+        seg, dlat, dlon, w,
+    )
+    got = sum(cost(c) for c in path if c != s)
+    assert abs(got - optimal) < 1e-9, (got, optimal)
+
+
+def test_backend_linetrace_mode_plumbing():
+    from vector2dggs_spark.dggs import get_backend
+
+    b = get_backend("geohash")
+    assert b.linetrace_mode == "astar"
+    c = np.array([[-176.5, -44.2], [-176.3, -44.0]])
+    assert set(b.linetrace(c, 6)) == set(G.linetrace_astar(c, 6))

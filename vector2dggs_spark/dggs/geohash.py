@@ -243,17 +243,29 @@ def polyfill(rings: list[np.ndarray], precision: int) -> np.ndarray:
     return encode_grid(gl.ravel()[inside], gn.ravel()[inside], precision)
 
 
-def linetrace(coords: np.ndarray, precision: int) -> np.ndarray:
-    """Cells touched by each segment of a polyline (deterministic supercover).
+def linetrace(coords: np.ndarray, precision: int, mode: str = "astar") -> np.ndarray:
+    """Cells along each segment of a polyline.
 
-    The reference walks the 8-neighbor geohash graph with a
-    geometry-aware A* per segment (``indexers/geohash/traversal.py``);
-    the output contract is "the chain of cells the segment passes
-    through".  We produce that chain exactly with an Amanatides-Woo grid
-    traversal on the regular lat/lon grid — same semantics, fully
-    deterministic, no search.  Duplicate cells across segments are kept
-    once (reference dedups (cell, feature) keep-first).
+    ``mode="astar"`` (default — reference parity): geometry-aware
+    bidirectional A* per segment over the 8-neighbor geohash graph,
+    matching ``indexers/geohash/traversal.py:18-133`` semantics (step
+    cost 1 + w·perp-distance-to-segment, Kaindl-Kainz bidirectional
+    termination).  The A* path can legitimately SKIP corner-touched
+    cells, so its cell set differs from the supercover.
+
+    ``mode="supercover"``: every cell the segment passes through, via a
+    deterministic grid traversal — the cheaper vectorized scale path.
     """
+    if mode == "astar":
+        return linetrace_astar(coords, precision)
+    return linetrace_supercover(coords, precision)
+
+
+def linetrace_supercover(coords: np.ndarray, precision: int) -> np.ndarray:
+    """All cells touched by each segment (deterministic supercover via
+    an Amanatides-Woo-style grid traversal on the regular lat/lon grid —
+    no search, fully vectorized).  Duplicate cells across segments are
+    kept once (reference dedups (cell, feature) keep-first)."""
     dlat, dlon = cell_dims(precision)
     out: list[np.ndarray] = []
     x = (coords[:, 0] + 180.0) / dlon  # grid-space coords
@@ -277,3 +289,135 @@ def _segment_cells(x0: float, y0: float, x1: float, y1: float) -> np.ndarray:
     xs = np.floor(x0 + (x1 - x0) * t).astype(np.int64)
     ys = np.floor(y0 + (y1 - y0) * t).astype(np.int64)
     return np.unique(np.stack([xs, ys], axis=1), axis=0)
+
+
+# --------------------------------------------------------------- A* linetrace
+def _pt_seg_dist(lon: float, lat: float, a, b) -> float:
+    """Planar degree distance from a point to the segment a->b (lon, lat)."""
+    ax, ay = a
+    dx, dy = b[0] - ax, b[1] - ay
+    den = dx * dx + dy * dy
+    t = 0.0 if den == 0.0 else min(max(((lon - ax) * dx + (lat - ay) * dy) / den, 0.0), 1.0)
+    return float(np.hypot(lon - (ax + t * dx), lat - (ay + t * dy)))
+
+
+def _cell_grid_neighbors(ix: int, iy: int, nx: int, ny: int):
+    """The 8 lattice neighbors of grid cell (ix, iy), lon wrap-around,
+    lat clamped; deterministic enumeration order."""
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            jy = iy + dy
+            if 0 <= jy < ny:
+                yield (ix + dx) % nx, jy
+
+
+def _astar_segment_cells(
+    x0: float, y0: float, x1: float, y1: float, seg, dlat: float, dlon: float, w: float
+) -> set[tuple[int, int]]:
+    """Geometry-aware bidirectional A* between the cells containing the
+    segment endpoints, on the geohash lat/lon grid (grid-space ints).
+
+    Published semantics (reference traversal.py): each step into a cell
+    costs ``1 + w · perp_distance(cell center, segment)`` with the
+    deviation penalty in g (heuristic stays the squared degree distance
+    to the goal cell center, an underestimate at sub-degree cell sizes);
+    the two frontiers stop when the best meeting cost can no longer be
+    beaten (Kaindl-Kainz condition).  Implemented on integer grid
+    coordinates with vector-free scalar math — this runs per segment
+    inside the Arrow batch, like the reference's per-geometry loop.
+    """
+    import heapq
+
+    nx = int(round(360.0 / dlon))
+    ny = int(round(180.0 / dlat))
+    s = (int(np.floor((x0 % 360.0) / dlon)) % nx, min(int(np.floor(y0 / dlat)), ny - 1))
+    e = (int(np.floor((x1 % 360.0) / dlon)) % nx, min(int(np.floor(y1 / dlat)), ny - 1))
+    if s == e:
+        return {s}
+
+    def center_lonlat(c):
+        return ((c[0] + 0.5) * dlon - 180.0, (c[1] + 0.5) * dlat - 90.0)
+
+    se_lon, se_lat = center_lonlat(e)
+    ss_lon, ss_lat = center_lonlat(s)
+
+    def make_h(glon, glat):
+        def h(c):
+            lon, lat = center_lonlat(c)
+            return (lat - glat) ** 2 + (lon - glon) ** 2
+
+        return h
+
+    def step_cost(c):
+        lon, lat = center_lonlat(c)
+        return 1.0 + w * _pt_seg_dist(lon, lat, seg[0], seg[1])
+
+    sides = {
+        0: {"g": {s: 0.0}, "prev": {s: None}, "h": make_h(se_lon, se_lat)},
+        1: {"g": {e: 0.0}, "prev": {e: None}, "h": make_h(ss_lon, ss_lat)},
+    }
+    heaps = {
+        0: [(sides[0]["h"](s), s)],
+        1: [(sides[1]["h"](e), e)],
+    }
+    best = float("inf")
+    meet = None
+    while heaps[0] and heaps[1]:
+        f0, f1 = heaps[0][0][0], heaps[1][0][0]
+        if meet is not None and best <= f0 + f1:
+            break
+        side = 0 if f0 <= f1 else 1
+        other = 1 - side
+        st, so = sides[side], sides[other]
+        _, cur = heapq.heappop(heaps[side])
+        for nb in _cell_grid_neighbors(cur[0], cur[1], nx, ny):
+            cand = st["g"][cur] + step_cost(nb)
+            if cand < st["g"].get(nb, float("inf")):
+                st["g"][nb] = cand
+                st["prev"][nb] = cur
+                heapq.heappush(heaps[side], (cand + st["h"](nb), nb))
+            if nb in so["g"]:
+                tot = st["g"][nb] + so["g"][nb]
+                if tot < best:
+                    best = tot
+                    meet = nb
+    if meet is None:
+        return {s, e}
+    out = set()
+    for side in (0, 1):
+        node = meet
+        while node is not None:
+            out.add(node)
+            node = sides[side]["prev"].get(node)
+    return out
+
+
+def linetrace_astar(coords: np.ndarray, precision: int, w: float = 1.0) -> np.ndarray:
+    """Reference-parity linetrace: per-segment geometry-aware
+    bidirectional A* (traversal.py:18-133 semantics), union of segment
+    paths, keep-first dedup."""
+    dlat, dlon = cell_dims(precision)
+    if len(coords) < 2:
+        return encode(coords[:, 1], coords[:, 0], precision)
+    cells: list[tuple[int, int]] = []
+    seen: set[tuple[int, int]] = set()
+    for i in range(len(coords) - 1):
+        seg = ((coords[i, 0], coords[i, 1]), (coords[i + 1, 0], coords[i + 1, 1]))
+        path = _astar_segment_cells(
+            coords[i, 0] + 180.0,
+            coords[i, 1] + 90.0,
+            coords[i + 1, 0] + 180.0,
+            coords[i + 1, 1] + 90.0,
+            seg,
+            dlat,
+            dlon,
+            w,
+        )
+        for c in sorted(path):
+            if c not in seen:
+                seen.add(c)
+                cells.append(c)
+    arr = np.array(cells, dtype=np.int64)
+    return encode_grid(arr[:, 1], arr[:, 0], precision)
