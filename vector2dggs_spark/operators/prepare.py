@@ -40,18 +40,30 @@ def prepare(
     backend: Backend,
     cut_threshold_deg2: float | None,
     sort_method: str = "geohash",
+    source_crs=None,
+    cut_crs=None,
+    cut_threshold_units2: float | None = None,
 ) -> DataFrame:
     """Parse + clean + explode + (antimeridian) + bisect, batch at a time.
 
     ``sort_method``: geohash | morton | hilbert (SFC key for the later
     range repartition, O1) — "none" also accepted (key still computed
-    cheaply; the pipeline just skips the repartition)."""
+    cheaply; the pipeline just skips the repartition).
+
+    ``source_crs``: EPSG code of the input coordinates; reprojected to
+    EPSG:4326 right after parsing (reference G1/G5).  ``cut_crs`` +
+    ``cut_threshold_units2``: katana runs in the projected cut CRS with
+    the threshold in that CRS's squared units (the reference's
+    ``-c``/``--cut_crs`` semantics, common.py:529-579); otherwise
+    bisection stays in 4326 degrees with ``cut_threshold_deg2``."""
     geodesic = backend.geodesic
     thr = cut_threshold_deg2
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = _prepare_batch(pdf, geodesic, thr, sort_method)
+            out = _prepare_batch(
+                pdf, geodesic, thr, sort_method, source_crs, cut_crs, cut_threshold_units2
+            )
             if out is not None:
                 yield out
 
@@ -112,8 +124,28 @@ def _prepare_points_fast(pdf: pd.DataFrame, sort_method: str):
     return fast, pdf[~hit]
 
 
-def _prepare_batch(pdf: pd.DataFrame, geodesic: bool, thr: float | None, sort_method: str = "geohash"):
-    fast, pdf = _prepare_points_fast(pdf, sort_method)
+def _prepare_batch(
+    pdf: pd.DataFrame,
+    geodesic: bool,
+    thr: float | None,
+    sort_method: str = "geohash",
+    source_crs=None,
+    cut_crs=None,
+    thr_units2: float | None = None,
+):
+    src = cut = None
+    if source_crs not in (None, 4326, "EPSG:4326", "epsg:4326"):
+        from vector2dggs_spark.geometry import crs as _crs
+
+        src = _crs.get_crs(source_crs)
+    if cut_crs not in (None, 4326, "EPSG:4326", "epsg:4326"):
+        from vector2dggs_spark.geometry import crs as _crs
+
+        cut = _crs.get_crs(cut_crs)
+    if src is None:
+        fast, pdf = _prepare_points_fast(pdf, sort_method)
+    else:
+        fast = None  # projected input: all rows take the parsed path
     doc_ids: list[str] = []
     uids: list[str] = []
     gtypes: list[str] = []
@@ -123,6 +155,13 @@ def _prepare_batch(pdf: pd.DataFrame, geodesic: bool, thr: float | None, sort_me
         geom = gw.parse_wkt(wkt_text)  # None for null/EMPTY/garbage (P3)
         if geom is None:
             continue
+        if src is not None:  # reproject source CRS -> EPSG:4326 (G1/G5)
+            from vector2dggs_spark.geometry.crs import transform_geom
+
+            try:
+                geom = transform_geom(geom, src.inverse)
+            except ValueError:
+                continue  # unsupported type for transform: drop (P4)
         # antimeridian gate: planar backends need the split
         # (reference common.py:712-722; vectorindexer.py:14-19)
         if not geodesic and gk.crosses_antimeridian(geom):
@@ -133,9 +172,20 @@ def _prepare_batch(pdf: pd.DataFrame, geodesic: bool, thr: float | None, sort_me
         else:
             singles = gk.explode(geom)  # double explode + type filter (G6/P4)
         for part_idx, single in enumerate(singles):
-            pieces = (
-                gk.katana_geom(single, thr) if thr and thr > 0 else [single]
-            )  # G3 bisection
+            if cut is not None and thr_units2 and single[0] == "Polygon":
+                # reference semantics: bisect in the projected cut CRS
+                # (threshold in CRS units²), pieces back to 4326
+                from vector2dggs_spark.geometry.crs import transform_geom
+
+                proj = transform_geom(single, cut.forward)
+                pieces = [
+                    transform_geom(p, cut.inverse)
+                    for p in gk.katana_geom(proj, thr_units2)
+                ]
+            else:
+                pieces = (
+                    gk.katana_geom(single, thr) if thr and thr > 0 else [single]
+                )  # G3 bisection
             for piece_idx, piece in enumerate(pieces):
                 doc_ids.append(doc_id)
                 uids.append(f"{doc_id}#{span_idx}#{part_idx}#{piece_idx}")

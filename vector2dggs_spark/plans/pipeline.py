@@ -65,6 +65,9 @@ def index(
     cut_threshold_deg2: float | None = None,
     spatial_sort: str = "geohash",
     partitions: int | None = None,
+    source_crs=None,
+    cut_crs=None,
+    cut_threshold_units2: float | None = None,
 ) -> IndexResult:
     """documents (doc_id, spans) -> cell table
     (``{dggs}_{res:02}``, doc_id[, spans]) with parent secondary index.
@@ -73,6 +76,11 @@ def index(
     the reference's area-table default G2); 0 disables bisection (`-c 0`).
     ``spatial_sort``: 'geohash' | 'morton' | 'hilbert' | 'none' (O1 —
     the reference's --spatial_sorting choices).
+    ``source_crs``: EPSG code of the span WKT coordinates (reprojected
+    to 4326 during prepare — reference G1/G5).  ``cut_crs`` +
+    ``cut_threshold_units2``: run katana in a projected CRS with the
+    threshold in CRS units² (reference ``--cut_crs``; defaults to the
+    backend threshold converted to m² when only ``cut_crs`` is given).
     """
     backend = get_backend(dggs)
     if parent_res is None:
@@ -80,13 +88,17 @@ def index(
     check_resolutions(backend, resolution, parent_res)
     if cut_threshold_deg2 is None:
         cut_threshold_deg2 = backend.default_cut_threshold_deg2(parent_res)
+    if cut_crs is not None and cut_threshold_units2 is None:
+        # degree threshold -> meters² (the role of the reference's
+        # DEFAULT_AREA_THRESHOLD_M2 table, constants.py:183)
+        cut_threshold_units2 = cut_threshold_deg2 * (111_320.0**2)
 
     if spatial_sort not in ("geohash", "morton", "hilbert", "none"):
         raise ValueError(f"unknown spatial_sort {spatial_sort!r}")
     geoms = extract_geometries(docs)
 
     native_points = None
-    if backend.name == "geohash":
+    if backend.name == "geohash" and source_crs in (None, 4326, "EPSG:4326"):
         # POINT spans (the dominant class at web scale) never leave the
         # JVM: regexp parse + bit-arithmetic geohash encode, pure
         # WholeStageCodegen (functions/sqlgen.py).  Non-point spans take
@@ -114,7 +126,15 @@ def index(
         )
         geoms = geoms.where(~F.coalesce(F.col("wkt").rlike(_POINT_RE), F.lit(False)))
 
-    prepared = prepare(geoms, backend, cut_threshold_deg2, sort_method=spatial_sort)
+    prepared = prepare(
+        geoms,
+        backend,
+        cut_threshold_deg2,
+        sort_method=spatial_sort,
+        source_crs=source_crs,
+        cut_crs=cut_crs,
+        cut_threshold_units2=cut_threshold_units2,
+    )
 
     if spatial_sort != "none":
         # range-partition on the SFC key: spatially-coherent batches for
