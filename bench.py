@@ -122,7 +122,12 @@ def run_bench(spark, sf_dir: str) -> dict:
             F.sum(F.xxhash64("geohash_06", "l_id", "r_id").cast("double"))
         ).collect()
 
+    # steady-state comparison: warm each strategy once (plan + broadcast
+    # + codegen), then time — the point is the join strategy, not JVM
+    # warmup noise
+    _skew_act(cell_join(hot_left, hot_right, "geohash_06"))
     timed("skew_join_plain", lambda: _skew_act(cell_join(hot_left, hot_right, "geohash_06")))
+    _skew_act(cell_join(hot_left, hot_right, "geohash_06", salt=32))
     timed(
         "skew_join_salted",
         lambda: _skew_act(cell_join(hot_left, hot_right, "geohash_06", salt=32)),

@@ -70,10 +70,13 @@ class H3Backend:
         return str(H.to_token(H.cell_to_center_child(v, res))[0])
 
     # ---------------------------------------------------------- geometry ops
-    # one grid-disk cover is used up to this many rings; larger polygons
-    # take the hierarchical cover (children of a coarser cover) so no
-    # polygon size can fail at runtime
-    _DISK_K_CAP = 128
+    # grid-disk BFS is used only for tiny covers (it costs O(k) Python
+    # rounds); anything larger takes the fully-vectorized sample grid
+    _DISK_K_CAP = 8
+    _SAMPLE_CAP = 40_000_000  # hard bound on sample-grid size
+    # katana sizing: a piece ~this many cells across keeps each piece's
+    # sample grid around 10^5 points — the vectorized sweet spot
+    _CUT_SIDE_CELLS = 192
 
     def _bbox_k(self, ext, res: int) -> int:
         half_diag = 0.5 * np.hypot(
@@ -83,36 +86,38 @@ class H3Backend:
 
     def _bbox_candidates(self, ext, res: int) -> np.ndarray:
         """u64 cells at ``res`` whose centers may fall in the bbox of
-        ``ext`` — a conservative cover.  Small bboxes: one grid disk
-        sized from the GLOBAL minimum spacing.  Large bboxes: children
-        of a coarser cover (recursing by 2 res steps), so arbitrarily
-        large polygons cover without a ring-budget failure (the old
-        one-point-sampled k with a hard k>600 ValueError dropped cells
-        in tight-spacing regions and crashed on big pieces)."""
+        ``ext`` — a conservative cover via ONE vectorized encode of a
+        sample grid.  Hexagons of neighbor spacing s contain a disk of
+        radius s/2, so a grid at step 0.6·(global min spacing) puts at
+        least one sample in every cell intersecting the padded bbox
+        (longitude compression only densifies the grid in angular terms
+        — always conservative).  Replaces the round-1 single grid-disk
+        BFS (hard k>600 failure, one-point-sampled spacing) and is ~10×
+        faster at large k since there are no per-ring Python rounds."""
         k = self._bbox_k(ext, res)
         if k <= self._DISK_K_CAP or res < 2:
             clon = (ext[:, 0].min() + ext[:, 0].max()) / 2.0
             clat = (ext[:, 1].min() + ext[:, 1].max()) / 2.0
             seed = H.latlng_to_cell([clat], [clon], res)
-            return H.grid_disk(seed, min(k, 2000))[0]
-        coarse = self._bbox_candidates(ext, res - 2)
-        # keep coarse cells near the bbox (expanded by a coarse cell
-        # diameter), dilate one ring to be conservative, then expand to
-        # children at the target res
-        lat_c, lon_c = H.cell_to_latlng(coarse)
-        pad = 2.5 * H.mean_center_spacing_deg(res - 2)
-        near = (
-            (lon_c >= ext[:, 0].min() - pad)
-            & (lon_c <= ext[:, 0].max() + pad)
-            & (lat_c >= ext[:, 1].min() - pad)
-            & (lat_c <= ext[:, 1].max() + pad)
+            return H.grid_disk(seed, k)[0]
+        spacing = H.min_center_spacing_deg(res)
+        step = 0.6 * spacing
+        pad = 2.0 * spacing
+        gx = np.arange(ext[:, 0].min() - pad, ext[:, 0].max() + pad + step, step)
+        gy = np.arange(
+            max(ext[:, 1].min() - pad, -90.0),
+            min(ext[:, 1].max() + pad, 90.0) + step,
+            step,
         )
-        keep = coarse[near]
-        if len(keep) == 0:
-            keep = coarse
-        dilated = np.unique(np.concatenate(H.grid_disk(keep, 1)))
-        kids = [H.cell_to_children(int(c), res) for c in dilated]
-        return np.unique(np.concatenate([np.array(x, dtype=np.uint64) for x in kids]))
+        if gx.size * gy.size > self._SAMPLE_CAP:
+            # gigantic piece: recurse through a coarser cover's children
+            coarse = self._bbox_candidates(ext, res - 2)
+            kids = [H.cell_to_children(int(c), res) for c in coarse]
+            return np.unique(
+                np.concatenate([np.array(x, dtype=np.uint64) for x in kids])
+            )
+        mx, my = np.meshgrid(gx, gy, indexing="ij")
+        return np.unique(H.latlng_to_cell(my.ravel(), mx.ravel(), res))
 
     def polyfill(self, rings, res):
         """Cells whose center is inside the polygon — H3 v4
@@ -172,14 +177,15 @@ class H3Backend:
         return max(self.min_res, res - 6)
 
     def default_cut_threshold_deg2(self, parent_res: int) -> float:
-        """Katana threshold derived from the polyfill single-disk budget:
-        a square piece of this area needs at most ~0.75·_DISK_K_CAP
-        rings at the default indexing res (parent_res + 6), so default
-        pipelines never leave the cheap one-disk cover path."""
+        """Katana threshold derived from the polyfill cover budget: a
+        square piece ~_CUT_SIDE_CELLS cells across at the default
+        indexing res (parent_res + 6) keeps each piece's vectorized
+        sample grid around 10^5 points — big enough to amortize the
+        Arrow batch, small enough to parallelize across tasks."""
         from vector2dggs_spark.dggs import DEFAULT_PARENT_OFFSET
 
         res = min(self.max_res, parent_res + DEFAULT_PARENT_OFFSET)
-        side = 0.75 * self._DISK_K_CAP * H.min_center_spacing_deg(res)
+        side = self._CUT_SIDE_CELLS * H.min_center_spacing_deg(res)
         return side * side
 
     def ring_guarantee_deg(self, res: int, r: int) -> float:

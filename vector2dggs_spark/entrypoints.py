@@ -395,6 +395,9 @@ def _q_knn_h3(spark: SparkSession, sf_dir: str) -> DataFrame:
 from vector2dggs_spark.functions import textops as X
 
 Q19 = _dialects(X.simhash_pairs_sql("spark"), X.simhash_pairs_sql("duckdb"))
+Q25 = _dialects(
+    X.jaccard_ngram_pairs_sql("spark"), X.jaccard_ngram_pairs_sql("duckdb")
+)
 Q20 = _dialects(
     X.embedding_near_dup_sql("spark"), X.embedding_near_dup_sql("duckdb")
 )
@@ -497,6 +500,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q22_media_decode_features": (_q_media, _MEDIA_ORACLE),
     "q23_pipeline_s2": (_q_s2_pipeline, None),
     "q24_pipeline_a5": (_q_a5_pipeline, None),
+    "q25_jaccard_ngram_pairs": Q25,
 }
 
 

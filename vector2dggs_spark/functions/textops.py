@@ -124,3 +124,55 @@ SELECT query_id, vec_id, rnk FROM (
   FROM s) r
 WHERE rnk <= {k}
 """
+
+
+def jaccard_ngram_pairs_sql(
+    dialect: str,
+    threshold: float = 0.5,
+    max_doc_freq: int = 64,
+    table: str = "documents",
+) -> str:
+    """Exact n-gram (3-word shingle) Jaccard near-dup pairs.
+
+    Candidate pairs come from a shared-shingle equi-join; shingles whose
+    document frequency exceeds ``max_doc_freq`` are dropped first (the
+    standard boilerplate guard — without it one common shingle creates a
+    quadratic hot bucket at corpus scale).  |∩| is counted over the
+    surviving shingles while set sizes use the full per-doc sets, so a
+    capped shared shingle only ever LOWERS the similarity (conservative,
+    and bit-identical in both engines).
+    """
+    thr = dlit(threshold)
+    if dialect == "spark":
+        toks = "split(text, ' ')"
+        sh = (
+            "array_distinct(transform(sequence(1, size(toks) - 2), "
+            "i -> md5(concat_ws(' ', slice(toks, i, 3)))))"
+        )
+        guard = "size(toks) >= 3"
+        ex = "SELECT doc_id, size(sh) AS n, explode(sh) AS g FROM s"
+    else:
+        toks = "string_split(text, ' ')"
+        sh = (
+            "list_distinct([md5(array_to_string(toks[i:i+2], ' ')) "
+            "for i in range(1, len(toks) - 1)])"
+        )
+        guard = "len(toks) >= 3"
+        ex = "SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM s"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM {table}),
+f AS (SELECT doc_id, toks FROM t WHERE {guard}),
+s AS (SELECT doc_id, {sh} AS sh FROM f),
+e AS ({ex}),
+df AS (SELECT g FROM e GROUP BY g HAVING count(*) <= {max_doc_freq}),
+e2 AS (SELECT e.doc_id, e.n, e.g FROM e JOIN df ON e.g = df.g),
+p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+             cast(count(*) AS bigint) AS inter,
+             cast(min(a.n) AS bigint) AS n_a, cast(min(c.n) AS bigint) AS n_b
+      FROM e2 a JOIN e2 c ON a.g = c.g AND a.doc_id < c.doc_id
+      GROUP BY a.doc_id, c.doc_id)
+SELECT doc_a, doc_b,
+       cast(inter AS double) / cast(n_a + n_b - inter AS double) AS jaccard
+FROM p
+WHERE cast(inter AS double) / cast(n_a + n_b - inter AS double) >= {thr}
+"""
