@@ -149,3 +149,39 @@ def test_assign_tiles_equijoin_golden(spark, docs, result):
         ].itertuples(index=False, name=None)
     )
     assert got == exp and got
+
+
+def test_knn_rhp_matches_brute_force(spark):
+    """kNN exactness for an angular-step-disk backend (rhp): ring
+    expansion with the round-2 conservative guarantee must equal brute
+    force (ADVICE r01: the old bound could under-cover)."""
+    import numpy as np
+    import pandas as pd
+
+    from vector2dggs_spark.dggs import get_backend
+    from vector2dggs_spark.operators.joins import knn
+
+    rng = np.random.default_rng(17)
+    q = pd.DataFrame({
+        "query_id": [f"q{i}" for i in range(25)],
+        "lat": rng.uniform(-44.35, -44.05, 25),
+        "lon": rng.uniform(-176.55, -176.25, 25),
+    })
+    t = pd.DataFrame({
+        "target_id": [f"t{i}" for i in range(400)],
+        "lat": rng.uniform(-44.4, -44.0, 400),
+        "lon": rng.uniform(-176.6, -176.2, 400),
+    })
+    got = knn(
+        spark.createDataFrame(q), spark.createDataFrame(t),
+        get_backend("rhp"), res=8, k=4,
+    ).toPandas()
+    # brute force in pandas
+    d2 = (q["lat"].to_numpy()[:, None] - t["lat"].to_numpy()[None, :]) ** 2 + (
+        q["lon"].to_numpy()[:, None] - t["lon"].to_numpy()[None, :]
+    ) ** 2
+    for qi, qid in enumerate(q["query_id"]):
+        order = np.lexsort((t["target_id"].to_numpy(), d2[qi]))[:4]
+        want = set(t["target_id"].to_numpy()[order])
+        have = set(got[got.query_id == qid].target_id)
+        assert have == want, (qid, have, want)

@@ -201,3 +201,40 @@ def test_spatial_sort_variants_equivalent(spark, docs):
             base = got
         else:
             assert got == base, sort
+
+
+def test_jdbc_source_end_to_end(spark, tmp_path):
+    """SURVEY S2: JDBC feature source -> documents shape -> index().
+    Uses the embedded Derby engine on Spark's own classpath (the code
+    path is identical for PostGIS/any JDBC URL; reference
+    common.py:594-615 + tests/classes/postgis.py scenario shape)."""
+    from vector2dggs_spark import index
+    from vector2dggs_spark.sources.documents import read_documents_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/featdb;create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate("CREATE TABLE feats (fid INT, wkt VARCHAR(300))")
+    rows = [
+        (1, "POINT (174.5 -36.5)"),
+        (2, "POINT (174.6 -36.6)"),
+        (3, "POLYGON ((174.0 -37.0, 174.2 -37.0, 174.2 -36.8, 174.0 -36.8, 174.0 -37.0))"),
+        (4, "LINESTRING (174.3 -36.9, 174.4 -36.8)"),
+    ]
+    for fid, wkt in rows:
+        st.executeUpdate(f"INSERT INTO feats VALUES ({fid}, '{wkt}')")
+    conn.close()
+
+    docs = read_documents_jdbc(
+        spark, url, "feats", id_col="fid", wkt_col="wkt",
+        partition_col="fid", lower=0, upper=5, num_partitions=2,
+    )
+    assert docs.count() == 4
+    assert docs.schema["spans"].dataType.elementType.fieldNames() == [
+        "kind", "text", "media_ref", "offset",
+    ]
+    r = index(spark, docs, dggs="geohash", resolution=5, parent_res=2)
+    out = r.cells.toPandas()
+    assert set(out.doc_id) == {"1", "2", "3", "4"}
+    assert len(out) > 10  # polygon fills multiple cells

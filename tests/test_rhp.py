@@ -105,4 +105,8 @@ def test_grid_disk_contains_self_and_neighbors():
     c = rhp.point_to_cell([-44.0], [-176.4], 5)
     disk = rhp.grid_disk(c, 5, 1)
     assert c[0] in disk[0]
-    assert len(set(disk[0])) >= 6
+    # round 2: the disk samples at width/2 (oversampling so shrunken
+    # cells can't fall between samples), so ring 2 spans one full cell
+    # width in every direction — all 8 neighbors must appear there
+    disk2 = rhp.grid_disk(c, 5, 2)
+    assert len(set(disk2[0])) >= 9

@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("-co", "--compact", action="store_true")
         sp.add_argument("-c", "--cut_threshold", type=float, default=None,
                         help="katana bbox-area threshold in deg^2 (0 disables)")
+        sp.add_argument("--source_crs", type=int, default=None,
+                        help="EPSG code of the input WKT coordinates (reference --crs)")
+        sp.add_argument("--cut_crs", type=int, default=None,
+                        help="projected EPSG code to bisect in (reference --cut_crs)")
+        sp.add_argument("--cut_threshold_units2", type=float, default=None,
+                        help="katana threshold in cut-CRS squared units (e.g. m^2)")
         sp.add_argument("-s", "--spatial_sorting", default="geohash", choices=sorted(SORT_METHODS))
         sp.add_argument("-cp", "--compression", default="snappy")
         sp.add_argument("--geo", default="none", choices=sorted(GEO_MODES))
@@ -111,6 +117,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 keep_spans=args.keep_attributes,
                 cut_threshold_deg2=args.cut_threshold,
                 spatial_sort=args.spatial_sorting,
+                source_crs=args.source_crs,
+                cut_crs=args.cut_crs,
+                cut_threshold_units2=args.cut_threshold_units2,
             )
         result.cells.cache()
         if args.geo == "none":

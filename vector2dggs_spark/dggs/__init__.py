@@ -178,6 +178,12 @@ class RhpBackend(Backend):
     def cell_width_deg(self, res: int) -> float:
         return _rhp.cell_width_deg(res)
 
+    def ring_guarantee_deg(self, res: int, r: int) -> float:
+        """Angular-step disks (rhp.grid_disk samples at width/2): the
+        provably-covered radius is r·(width/2) minus one width each for
+        the query offset and candidate cell reach."""
+        return max(r / 2.0 - 2.0, 0.0) * _rhp.cell_width_deg(res)
+
     def cell_bbox(self, cells, res):
         # approximate planar-square bounds via center ± half width
         lat, lon = _rhp.cell_center(cells)

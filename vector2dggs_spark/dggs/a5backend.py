@@ -110,6 +110,9 @@ class A5Backend:
         return w * w
 
     def ring_guarantee_deg(self, res: int, r: int) -> float:
-        """grid_disk steps by cell_width/2 in lat/lon, so cells outside
-        disk(r) are at least (r-1)/2 cell widths away (conservative)."""
-        return max(r - 1, 0) * 0.5 * self.cell_width_deg(res)
+        """Angular-step disks cover a lat/lon square of half-width
+        r·(width/2); subtracting one width each for the query point's
+        offset inside its cell and the candidate cell's reach gives the
+        provably-covered radius (ADVICE r01: the old (r-1)·0.8·width
+        exceeded the sampled coverage)."""
+        return max(r / 2.0 - 2.0, 0.0) * self.cell_width_deg(res)

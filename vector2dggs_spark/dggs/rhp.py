@@ -278,12 +278,13 @@ def cell_width_deg(res: int) -> float:
 def grid_disk(cells, res: int, k: int) -> np.ndarray:
     """(n, (2k+1)^2) neighbor disks via angular stepping from centers.
 
-    Used by kNN ring expansion (SURVEY.md J3); steps in lat/lon by the
-    cell angular size and re-encodes, which is exact within a face and a
-    sound approximation across face edges.
+    Used by kNN ring expansion (SURVEY.md J3).  Steps at HALF the
+    nominal cell width so locally-shrunken cells (HEALPix distortion)
+    cannot fall between samples; the matching conservative termination
+    bound lives in RhpBackend.ring_guarantee_deg.
     """
     lat, lon = cell_center(np.atleast_1d(cells))
-    step = cell_width_deg(res)
+    step = cell_width_deg(res) / 2.0
     offs = np.arange(-k, k + 1, dtype=np.float64) * step
     dl, dn = np.meshgrid(offs, offs, indexing="ij")
     lat_n = np.clip(lat[:, None] + dl.ravel()[None, :], -90.0, 90.0)

@@ -354,10 +354,12 @@ def cell_width_deg(level: int) -> float:
 
 
 def grid_disk(cells, level: int, k: int) -> np.ndarray:
-    """(n, (2k+1)^2) neighbor matrix by angular stepping from centers
-    (sufficient for kNN ring expansion; exact within a face)."""
+    """(n, (2k+1)^2) neighbor matrix by angular stepping from centers.
+    Steps at HALF the nominal cell width so corner-region cells (S2
+    quadratic-transform shrinkage) cannot fall between samples; the
+    matching conservative bound is S2Backend.ring_guarantee_deg."""
     lat, lon = cell_to_latlng(from_token(np.atleast_1d(cells)) if np.asarray(cells).dtype.kind == "U" else np.atleast_1d(cells))
-    step = cell_width_deg(level)
+    step = cell_width_deg(level) / 2.0
     offs = np.arange(-k, k + 1, dtype=np.float64) * step
     dl, dn = np.meshgrid(offs, offs, indexing="ij")
     lat_n = np.clip(lat[:, None] + dl.ravel()[None, :], -90.0, 90.0)

@@ -187,7 +187,9 @@ def knn(
     while r <= max_ring:
         disk = grid_disk_udf(backend, res, r)
         cand = (
-            pending.withColumn("__cell", F.explode(disk("__qcell")))
+            pending.withColumn(
+                "__cell", F.explode(F.array_distinct(disk("__qcell")))
+            )
             .join(t, "__cell")
             .select(
                 "__qid",
@@ -231,7 +233,9 @@ def knn(
         # fallback: exhausted ring budget — take best-effort top-k found
         disk = grid_disk_udf(backend, res, max_ring)
         cand = (
-            pending.withColumn("__cell", F.explode(disk("__qcell")))
+            pending.withColumn(
+                "__cell", F.explode(F.array_distinct(disk("__qcell")))
+            )
             .join(t, "__cell")
             .select(
                 "__qid",

@@ -92,6 +92,13 @@ def index(
         # degree threshold -> meters² (the role of the reference's
         # DEFAULT_AREA_THRESHOLD_M2 table, constants.py:183)
         cut_threshold_units2 = cut_threshold_deg2 * (111_320.0**2)
+    # fail fast on unsupported CRS codes at plan time, not inside an
+    # Arrow worker at action time
+    for code in (source_crs, cut_crs):
+        if code not in (None, 4326, "EPSG:4326"):
+            from vector2dggs_spark.geometry.crs import get_crs
+
+            get_crs(code)
 
     if spatial_sort not in ("geohash", "morton", "hilbert", "none"):
         raise ValueError(f"unknown spatial_sort {spatial_sort!r}")
@@ -188,23 +195,40 @@ def index(
     return IndexResult(out, backend, resolution, parent_res, cell_col, parent_col)
 
 
+AUTO_SINGLE_FILE_ROW_CAP = 20_000_000  # per-parent rows above which one
+# file per dir would serialize a hot cell through a single write task
+
+
 def write_partitioned(
     result: IndexResult,
     output: str,
     compression: str = "snappy",
     overwrite: bool = False,
-    single_file_per_partition: bool = True,
+    single_file_per_partition: bool | None = None,
     max_records_per_file: int | None = None,
 ) -> None:
     """Hive-partitioned Parquet sink (S6 + O3; replaces the reference's
     per-directory merge pass S8 by construction).
 
-    ``single_file_per_partition=True`` mirrors the reference's merged
-    layout exactly (one file per parent dir).  At 100 TB scale prefer
-    ``False`` + ``max_records_per_file`` so one hot parent cell cannot
-    serialize through a single task (skew note, SURVEY.md §4).
+    ``single_file_per_partition``: True mirrors the reference's merged
+    layout exactly (one file per parent dir); False lets tasks write in
+    parallel with ``max_records_per_file`` bounding file sizes.  The
+    default (None) AUTO-FLIPS: merged layout while the largest parent
+    cell stays under AUTO_SINGLE_FILE_ROW_CAP rows, parallel layout
+    above it — so the reference-parity default cannot serialize one hot
+    parent through a single task at scale (VERDICT r01 #6).
     """
     df = result.cells
+    if single_file_per_partition is None:
+        top = (
+            df.groupBy(result.parent_col)
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()
+        )
+        single_file_per_partition = int(top["m"] or 0) <= AUTO_SINGLE_FILE_ROW_CAP
+        if not single_file_per_partition and max_records_per_file is None:
+            max_records_per_file = AUTO_SINGLE_FILE_ROW_CAP
     if single_file_per_partition:
         df = df.repartition(F.col(result.parent_col)).sortWithinPartitions(
             result.cell_col
