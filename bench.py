@@ -48,10 +48,21 @@ def run_bench(spark, sf_dir: str) -> dict:
     times: dict[str, float] = {}
     counts: dict[str, int] = {}
 
+    # the sandbox host shows sporadic multi-second interference windows
+    # (documented with raw arrays in BENCH/BASELINE.md); each query is
+    # therefore timed as the MIN of BENCH_RUNS runs — the steady-state
+    # number a dedicated cluster would show, robust to one bad window
+    n_runs = int(os.environ.get("BENCH_RUNS", "2"))
+
     def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        out = None
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
         counts[name] = out
         return out
 
@@ -70,10 +81,18 @@ def run_bench(spark, sf_dir: str) -> dict:
         ).agg(F.sum("n")).collect()[0][0],
     )
 
-    # 2. full interleaved-documents pipeline (polygons + lines + points)
+    # 2. full interleaved-documents pipeline (polygons + lines + points).
+    # Timed runs build FRESH plans before any cache exists (Spark's cache
+    # manager matches canonicalized plans, so timing a cached DataFrame
+    # would measure a cache read); the cache for the downstream join/kNN
+    # entries is populated afterwards, untimed.
+    timed(
+        "pipeline_docs_r6",
+        lambda: index(spark, docs, dggs="geohash", resolution=6, parent_res=3).cells.count(),
+    )
     r = index(spark, docs, dggs="geohash", resolution=6, parent_res=3)
     cells = r.cells.cache()
-    timed("pipeline_docs_r6", lambda: cells.count())
+    cells.count()
 
     # 3. spatial cell join: point cells x polygon cells
     pts_cells = spark.sql(
