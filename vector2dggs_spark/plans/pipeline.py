@@ -144,12 +144,18 @@ def index(
     )
 
     if spatial_sort != "none":
-        # range-partition on the SFC key: spatially-coherent batches for
-        # the polyfill stage (reference dask spatial_shuffle, O1)
-        if partitions:
-            prepared = prepared.repartitionByRange(partitions, "sort_key")
-        else:
-            prepared = prepared.repartitionByRange("sort_key")
+        # spatially-coherent batches for the polyfill stage (reference
+        # dask spatial_shuffle, O1) via HASH partitioning on a coarse
+        # prefix of the SFC key.  repartitionByRange would be the exact
+        # analog but its range sampling EXECUTES THE ARROW PREPARE STAGE
+        # A SECOND TIME (UDF stages cannot be column-pruned for the
+        # sampling pass) — measured as >half the pipeline wall time.
+        # The 4-char prefix groups ~0.2°-scale blocks: same locality for
+        # the vectorized polyfill batches, one shuffle, no resample.
+        nparts = partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        prepared = prepared.repartition(nparts, F.substring("sort_key", 1, 4))
     elif partitions:
         prepared = prepared.repartition(partitions)
 
