@@ -87,3 +87,68 @@ def test_stateful_running_counts_resume(spark, tmp_path):
         for r in exp.groupBy("geohash_04").agg(F.count("*").alias("n")).collect()
     }
     assert got == exp_counts and got
+
+
+def test_windowed_watermark_drops_late_data(spark, tmp_path):
+    """Event-time windows + watermark: a window emits once the watermark
+    passes its end; events later than the watermark are DROPPED (their
+    window has already been finalized without them)."""
+    import pandas as pd
+
+    from vector2dggs_spark.dggs import get_backend
+    from vector2dggs_spark.streaming.windowed import windowed_cell_counts
+
+    in_dir = str(tmp_path / "win_in")
+    cp = str(tmp_path / "win_cp")
+    os.makedirs(in_dir)
+    schema = "event_time timestamp, lat double, lon double"
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["event_time", "lat", "lon"])
+        pdf["event_time"] = pd.to_datetime(pdf["event_time"])
+        spark.createDataFrame(pdf, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    # batch 1: three events in [10:00, 10:10) + one at 10:30 that pushes
+    # the watermark to 10:25 (> window end), finalizing the first window
+    write_batch("b1", [
+        ("2026-01-01 10:01:00", -44.1, -176.4),
+        ("2026-01-01 10:03:00", -44.1, -176.4),
+        ("2026-01-01 10:08:00", -44.1, -176.4),
+        ("2026-01-01 10:30:00", -44.2, -176.5),
+    ])
+
+    out_dir = str(tmp_path / "win_out")
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    agg = windowed_cell_counts(stream, get_backend("geohash"), 5)
+
+    def run_available(_):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir).toPandas()
+
+    out1 = run_available("win1")
+    first = out1[out1.window_start.astype(str).str.contains("10:00")]
+    assert len(first) == 1 and int(first.iloc[0]["n"]) == 3  # window finalized
+
+    # batch 2: one LATE event (10:02 — far behind the 10:25 watermark)
+    # and one fresh event keeping the stream alive
+    write_batch("b2", [
+        ("2026-01-01 10:02:00", -44.1, -176.4),  # must be dropped
+        ("2026-01-01 10:31:00", -44.2, -176.5),
+    ])
+    out2 = run_available("win2")
+    # the file sink is cumulative: the finalized [10:00,10:10) window must
+    # still be exactly the batch-1 emission — one row, n==3.  A re-emit
+    # (2 rows) or a grown count (n==4) would mean the late event leaked
+    # past the watermark.
+    again = out2[out2.window_start.astype(str).str.contains("10:00")]
+    assert len(again) == 1 and int(again.iloc[0]["n"]) == 3, again.to_string()
