@@ -78,3 +78,75 @@ def test_wkt_wkb_roundtrip_linestring(coords):
     assert np.allclose(g2[1], arr)
     g3 = gw.parse_wkt(gw.to_wkt(g))
     assert np.allclose(g3[1], arr, atol=1e-7)
+
+
+@settings(max_examples=150, deadline=None)
+@given(lat=lat_s, lon=lon_s, res=st.integers(min_value=0, max_value=24))
+def test_a5_roundtrip_and_nesting(lat, lon, res):
+    from vector2dggs_spark.dggs import a5 as A
+
+    c = A.lonlat_to_cell([lat], [lon], res)
+    assert int(A.get_resolution(c)[0]) == res
+    lo, la = A.cell_to_lonlat(c)
+    assert A.lonlat_to_cell(la, lo, res)[0] == c[0]
+    # aperture-4 nesting is exact: encoding coarser must equal the parent
+    if res >= 1:
+        assert A.cell_to_parent(c, res - 1)[0] == A.lonlat_to_cell([lat], [lon], res - 1)[0]
+    tok = A.to_token(c)[0]
+    assert len(tok) == 16 and A.from_token([tok])[0] == c[0]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    lat=st.floats(min_value=-80.0, max_value=84.0),
+    lon=st.floats(min_value=-180.0, max_value=180.0),
+    code=st.sampled_from([3857, 2193, 32701, 32733, 32760, 32601]),
+)
+def test_crs_roundtrip(lat, lon, code):
+    """forward∘inverse identity for every supported CRS family, global
+    inputs (TM far from the central meridian included — the Krüger
+    series stays a bijection; accuracy degrades gracefully)."""
+    import numpy as np
+
+    from vector2dggs_spark.geometry import crs
+
+    p = crs.get_crs(code)
+    x, y = p.forward(np.array([lon]), np.array([lat]))
+    lo, la = p.inverse(x, y)
+    if code == 3857:
+        tol = 1e-9
+    else:
+        # TM: tight near the zone, loose at antipodal longitudes
+        lon0 = {2193: 173.0}.get(code, (code % 100) * 6 - 183)
+        d = abs((lon - lon0 + 180) % 360 - 180)
+        if d > 40:
+            return  # out of the projection's domain of validity
+        tol = 1e-7 if d < 10 else 1e-3
+    assert abs(((lo[0] - lon + 180) % 360) - 180) < tol
+    assert abs(la[0] - lat) < tol
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    pent=st.sampled_from([4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117]),
+    ang=st.floats(min_value=0.0, max_value=6.283),
+    rad=st.floats(min_value=0.01, max_value=8.0),
+    res=st.integers(min_value=1, max_value=9),
+)
+def test_h3_pentagon_area_roundtrip(pent, ang, rad, res):
+    """Points around every icosahedron vertex: encode→center→re-encode
+    identity and canonical form (no leading K digit) — the round-2
+    pentagon guarantee, property-tested."""
+    import numpy as np
+
+    from vector2dggs_spark.dggs import h3core as H
+
+    clat, clon = H.T.BASE_CENTER_GEO[pent]
+    rr = np.radians(rad)
+    sla = np.arcsin(np.clip(np.sin(clat) * np.cos(rr) + np.cos(clat) * np.sin(rr) * np.cos(ang), -1, 1))
+    slo = clon + np.arctan2(np.sin(ang) * np.sin(rr) * np.cos(clat), np.cos(rr) - np.sin(clat) * np.sin(sla))
+    cell = H.latlng_to_cell(np.degrees([sla]), np.degrees([slo]), res)
+    la, lo = H.cell_to_latlng(cell)
+    assert H.latlng_to_cell(la, lo, res)[0] == cell[0]
+    if H.T.IS_PENTAGON[int(H.base_cell(cell)[0])]:
+        assert int(H._leading_nonzero_digit(cell, res)[0]) != 1
