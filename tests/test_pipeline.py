@@ -238,3 +238,16 @@ def test_jdbc_source_end_to_end(spark, tmp_path):
     out = r.cells.toPandas()
     assert set(out.doc_id) == {"1", "2", "3", "4"}
     assert len(out) > 10  # polygon fills multiple cells
+
+
+def test_read_documents_table_source(spark):
+    """SURVEY S1/S3: a bare table name (no slash) resolves through the
+    catalog — the Iceberg-shaped branch of read_documents (the container
+    has no Iceberg jars, so the spark.read.table fallback is the tested
+    path; the Iceberg branch is the same one-liner)."""
+    from vector2dggs_spark.sources.documents import documents_df, read_documents
+
+    documents_df(spark, 25, seed=4).createOrReplaceTempView("docs_catalog_src")
+    got = read_documents(spark, "docs_catalog_src")
+    assert got.count() == 25
+    assert set(got.columns) == {"doc_id", "spans"}

@@ -136,10 +136,6 @@ def _ijk_rotate60ccw(i, j, k):
     return i + k, i + j, j + k
 
 
-def _ijk_rotate60cw(i, j, k):
-    return i + j, j + k, i + k
-
-
 # ------------------------------------------------------------- ijk (vectorized)
 def _ijk_normalize(i, j, k):
     m = np.minimum(np.minimum(i, j), k)
