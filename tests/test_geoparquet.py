@@ -93,3 +93,47 @@ def test_h3_boundary_rings(spark):
     # hexagon vertices should be shared with neighbors: all 6 distinct
     for i in range(2):
         assert len({(round(x, 9), round(y, 9)) for x, y in rings[i][:6]}) == 6
+
+
+@pytest.mark.parametrize("dggs,res,pr", [
+    ("rhp", 8, 4), ("h3", 7, 3), ("s2", 13, 7), ("a5", 12, 6),
+])
+def test_geoparquet_all_backends(spark, tmp_path, dggs, res, pr):
+    """S7 across every backend: both geo modes write valid GeoParquet
+    with a geo 1.1.0 footer, and point geometries decode to the cell
+    centers the backend kernel reports."""
+    import json
+    import struct
+
+    import pyarrow.parquet as pq
+
+    from vector2dggs_spark import index
+    from vector2dggs_spark.dggs import get_backend
+    from vector2dggs_spark.sources.documents import documents_df
+    from vector2dggs_spark.sources.sinks import write_geoparquet
+
+    docs = documents_df(spark, 60, seed=21)
+    r = index(spark, docs, dggs=dggs, resolution=res, parent_res=pr)
+    out = str(tmp_path / f"geo_{dggs}")
+    write_geoparquet(r, out, mode="point", overwrite=True)
+    files = [
+        os.path.join(root, f)
+        for root, _d, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert files
+    t = pq.read_table(files[0])
+    geo = json.loads(t.schema.metadata[b"geo"])
+    assert geo["version"] == "1.1.0"
+    assert geo["columns"]["geometry"]["geometry_types"] == ["Point"]
+    b = get_backend(dggs)
+    cells = t.column(r.cell_col).to_pylist()[:10]
+    lat, lon = b.cell_center(cells, res)
+    for i, wkb in enumerate(t.column("geometry").to_pylist()[:10]):
+        x, y = struct.unpack_from("<2d", memoryview(wkb), 5)
+        assert abs(x - lon[i]) < 1e-9 and abs(y - lat[i]) < 1e-9
+    # polygon mode also writes (boundary rings per backend)
+    out2 = str(tmp_path / f"geo_{dggs}_poly")
+    write_geoparquet(r, out2, mode="polygon", overwrite=True)
+    assert any(f.endswith(".parquet") for _r, _d, fs in os.walk(out2) for f in fs)
