@@ -168,8 +168,6 @@ def index(
         prepared = prepared.repartition(partitions)
 
     cells = index_cells(prepared, backend, resolution)
-    if native_points is not None:
-        cells = cells.unionByName(native_points)
 
     # cross-part line dedup: (cell, feature) keep-first (O5).  Poly/point
     # rows keep duplicates across parts, exactly like the reference (only
@@ -180,12 +178,18 @@ def index(
     # already unique for every geometry type, so keying non-line rows by
     # part_uid makes the dedup a no-op for them while line rows (keyed by
     # a constant) dedup across all their parts.
+    # Applied BEFORE the native-point union: native POINT rows can never
+    # be LineStrings, so keeping them out of the dedup spares the
+    # dominant web-scale class its only shuffle (pure map-side plan).
     dedup_key = F.when(F.col("geom_type") == "LineString", F.lit("__line__")).otherwise(
         F.col("part_uid")
     )
     cells = cells.withColumn("__dk", dedup_key).dropDuplicates(
         ["doc_id", "__dk", "cell"]
     ).drop("__dk")
+
+    if native_points is not None:
+        cells = cells.unionByName(native_points)
 
     cell_col = backend.col_name(resolution)
     parent_col = backend.col_name(parent_res)
