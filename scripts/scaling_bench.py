@@ -24,7 +24,9 @@ import sys
 import time
 
 N_POINTS = int(os.environ.get("SCALING_POINTS", "2000000000"))
-N_DOCS = int(os.environ.get("SCALING_DOCS", "4000000"))
+# round 2: the pipeline got ~5x faster, so the 4M-doc job finishes in ~3s
+# at 32 cores and fixed costs dominate the ratio; 64M keeps it CPU-bound
+N_DOCS = int(os.environ.get("SCALING_DOCS", "64000000"))
 
 WORKER = r"""
 import json, os, sys, time
