@@ -72,6 +72,34 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name", ["q19_simhash_pairs", "q26_embedding_near_dup_lsh", "q12_minhash_lsh_pairs"]
+)
+def test_dedup_candidate_plans_are_equi_joins(spark, name):
+    """VERDICT r02 #1/#2: LSH candidate generation must never execute as
+    an all-pairs plan — the banded equi-join is the 100-TB shape."""
+    fn, _ = QUERIES[name]
+    plan = _executed_plan(fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: all-pairs plan"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian plan"
+
+
+def test_lsh_near_dup_subset_and_recall_vs_brute_force(spark):
+    """q26 (banded) ⊆ q20 (brute force) with pinned fixture recall: the
+    exact-cosine post-filter guarantees no false positives; banding loses
+    only pairs that share no band (theory: 1-(1-p^4)^16, p = 1-θ/π)."""
+    lsh, _ = QUERIES["q26_embedding_near_dup_lsh"]
+    brute, _ = QUERIES["q20_embedding_near_dup"]
+    got = {(r["vec_a"], r["vec_b"]) for r in lsh(spark, SF_DIR).collect()}
+    exp = {(r["vec_a"], r["vec_b"]) for r in brute(spark, SF_DIR).collect()}
+    assert got <= exp
+    assert len(got) >= 0.8 * len(exp), f"recall {len(got)}/{len(exp)} below pinned 0.8"
+
+
 def test_contract_shape():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()

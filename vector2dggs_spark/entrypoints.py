@@ -402,6 +402,11 @@ Q20 = _dialects(
     X.embedding_near_dup_sql("spark"), X.embedding_near_dup_sql("duckdb")
 )
 Q21 = _dialects(X.ann_ivf_sql("spark"), X.ann_ivf_sql("duckdb"))
+# scale path for q20: banded candidate generation (equi-join), exact
+# cosine post-filter — output ⊆ q20, recall pinned in test_entry_contract
+Q26 = _dialects(
+    X.embedding_near_dup_lsh_sql("spark"), X.embedding_near_dup_lsh_sql("duckdb")
+)
 
 
 def _q_s2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,6 +506,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q23_pipeline_s2": (_q_s2_pipeline, None),
     "q24_pipeline_a5": (_q_a5_pipeline, None),
     "q25_jaccard_ngram_pairs": Q25,
+    "q26_embedding_near_dup_lsh": Q26,
 }
 
 
