@@ -52,6 +52,52 @@ def test_index_checkpointed_resume(spark, docs, tmp_path):
     assert r2.manifests["cells"]["written_at"] == r1.manifests["cells"]["written_at"]
 
 
+def test_index_checkpointed_threads_crs_and_rejects_unknown(spark, tmp_path):
+    """ADVICE r02 high: --source_crs through the checkpoint path must
+    reproject (not parse meters as degrees), the fingerprint must key on
+    the CRS config (no stale aliasing), and unsupported options fail
+    loudly."""
+    from vector2dggs_spark.geometry.crs import get_crs
+    from vector2dggs_spark.sources.documents import DOCUMENTS_SCHEMA
+
+    # one NZTM-projected point document (Chatham-ish lon/lat -> EPSG:2193)
+    lon, lat = -176.4, -44.1
+    e, n = get_crs(2193).forward([lon], [lat])
+    wkt = f"POINT ({e[0]:.3f} {n[0]:.3f})"
+    pdocs = spark.createDataFrame(
+        [("d0", [{"kind": "geometry", "text": wkt, "media_ref": None, "offset": 0}])],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    cp = str(tmp_path / "cp_crs")
+    r = index_checkpointed(spark, pdocs, cp, "v1", dggs="geohash", resolution=5,
+                           parent_res=2, source_crs=2193)
+    cells = [row["geohash_05"] for row in r.cells.collect()]
+    expected = index(spark, pdocs, dggs="geohash", resolution=5, parent_res=2,
+                     source_crs=2193).cells.collect()
+    assert cells == [row["geohash_05"] for row in expected]
+
+    # same fingerprint string, different CRS config -> stages NOT reused
+    r2 = index_checkpointed(spark, pdocs, cp, "v1", dggs="geohash", resolution=5,
+                            parent_res=2)  # no source_crs: coords are meters
+    fp1 = r.manifests["prepare"]["fingerprint"]
+    fp2 = r2.manifests["prepare"]["fingerprint"]
+    assert fp1 != fp2 and "crs2193" in fp1 and "crsNone" in fp2
+
+    with pytest.raises(ValueError, match="unsupported options"):
+        index_checkpointed(spark, pdocs, cp, "v1", dggs="geohash", resolution=5,
+                           bogus_flag=True)
+
+
+def test_verify_lineage_empty_dataset(spark, tmp_path):
+    """Zero-row lineage dataset (or legacy output) must report a diff,
+    not crash on schema inference (ADVICE r02 low)."""
+    out = str(tmp_path / "empty_out")
+    os.makedirs(out)
+    empty = spark.createDataFrame([], "geohash_02 string, n long")
+    write_lineage(empty.limit(0), out, "geohash_02", {})
+    assert verify_lineage(spark, out) == {}
+
+
 def test_lineage_and_repair(spark, docs, tmp_path):
     out = str(tmp_path / "out")
     r = index(spark, docs, dggs="geohash", resolution=6, parent_res=4)

@@ -151,6 +151,31 @@ def test_assign_tiles_equijoin_golden(spark, docs, result):
     assert got == exp and got
 
 
+def test_knn_releases_per_round_caches(spark):
+    """ADVICE r02: after knn returns, executor storage must hold exactly
+    one extra cached dataset (the returned result) — not one per ring
+    round; repeated knn calls in one session must not accumulate."""
+    rng = np.random.default_rng(3)
+    q = pd.DataFrame({
+        "query_id": [f"q{i}" for i in range(10)],
+        "lat": rng.uniform(-44.4, -43.7, 10),
+        "lon": rng.uniform(-176.6, -176.2, 10),
+    })
+    t = pd.DataFrame({
+        "target_id": [f"t{i}" for i in range(200)],
+        "lat": rng.uniform(-44.4, -43.7, 200),
+        "lon": rng.uniform(-176.6, -176.2, 200),
+    })
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = knn(spark.createDataFrame(q), spark.createDataFrame(t),
+              get_backend("geohash"), res=6, k=3)
+    assert out.count() == 30
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before + 1, f"kNN leaked caches: {before} -> {after}"
+    out.unpersist()
+
+
 def test_knn_rhp_matches_brute_force(spark):
     """kNN exactness for an angular-step-disk backend (rhp): ring
     expansion with the round-2 conservative guarantee must equal brute

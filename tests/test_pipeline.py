@@ -240,6 +240,82 @@ def test_jdbc_source_end_to_end(spark, tmp_path):
     assert len(out) > 10  # polygon fills multiple cells
 
 
+def _walk(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk(ch.apply(i))
+
+
+def test_plan_no_rangepartitioning_single_prefix_shuffle(spark, docs):
+    """Plan-regression guard (VERDICT r02 #8a): the docs pipeline must
+    keep the hash-prefix spatial shuffle — repartitionByRange's sampling
+    re-executes the Arrow prepare stage (was >half of round-1 wall time).
+    Pin: zero rangepartitioning nodes, exactly 2 hashpartitioning
+    exchanges (spatial prefix shuffle + line-dedup aggregate)."""
+    r = index(spark, docs, dggs="geohash", resolution=RES, parent_res=3,
+              cut_threshold_deg2=0.01)
+    plan = r.cells._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan
+    import re
+
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash == 2, f"expected 2 hash exchanges, plan has {n_hash}"
+
+
+def test_plan_native_point_branch_shuffle_free(spark):
+    """Plan-regression guard (VERDICT r02 #8b): the native POINT branch
+    (the dominant web-scale class) must stay a pure map-side plan — no
+    exchange between the scan and the union with the Arrow branch."""
+    from vector2dggs_spark.sources.documents import synthesize_documents_native
+
+    ndocs = synthesize_documents_native(spark, 1000)
+    r = index(spark, ndocs, dggs="geohash", resolution=9, parent_res=3)
+    sp = r.cells._jdf.queryExecution().sparkPlan()
+    unions = [n for n in _walk(sp) if n.nodeName() == "Union"]
+    assert unions, "expected a Union of Arrow and native-point branches"
+    union = unions[0]
+    ch = union.children()
+    natives = []
+    for i in range(ch.size()):
+        sub = list(_walk(ch.apply(i)))
+        if not any("MapInPandas" in n.nodeName() for n in sub):
+            natives.append(sub)
+    assert natives, "no native (non-Arrow) union child found"
+    for sub in natives:
+        bad = [n.nodeName() for n in sub if "Exchange" in n.nodeName()]
+        assert not bad, f"native point branch shuffles: {bad}"
+
+
+def test_write_partitioned_uncached_default_single_job(spark, docs, tmp_path):
+    """ADVICE r02 medium: the default write on an UNCACHED result must
+    not run a pre-write aggregation (which would execute the whole
+    pipeline twice).  AQE splits one write into a job per shuffle stage,
+    so the pin is relative: the default path triggers exactly as many
+    jobs as an explicit no-probe write of the same plan."""
+    sc = spark.sparkContext
+
+    def jobs_for(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    r = index(spark, docs, dggs="geohash", resolution=5, parent_res=2)
+    out1, out2 = str(tmp_path / "auto"), str(tmp_path / "explicit")
+    n_auto = jobs_for("wp_auto", lambda: write_partitioned(r, out1))
+    n_plain = jobs_for(
+        "wp_plain",
+        lambda: write_partitioned(r, out2, single_file_per_partition=False,
+                                  max_records_per_file=20_000_000),
+    )
+    assert n_auto == n_plain, f"default path ran {n_auto} jobs vs {n_plain} (probe leak)"
+    back = spark.read.parquet(out1)
+    assert back.count() == r.cells.count()
+
+
 def test_read_documents_table_source(spark):
     """SURVEY S1/S3: a bare table name (no slash) resolves through the
     catalog — the Iceberg-shaped branch of read_documents (the container

@@ -100,6 +100,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 dggs=args.dggs, resolution=args.resolution,
                 parent_res=args.parent_res, compact=args.compact,
                 cut_threshold_deg2=args.cut_threshold,
+                source_crs=args.source_crs,
+                cut_crs=args.cut_crs,
+                cut_threshold_units2=args.cut_threshold_units2,
+                spatial_sort=args.spatial_sorting,
+                keep_spans=args.keep_attributes,
             )
             from vector2dggs_spark.dggs import get_backend
             from vector2dggs_spark.plans.pipeline import IndexResult

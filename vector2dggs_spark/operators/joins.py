@@ -161,8 +161,11 @@ def knn(
 
     Loop hygiene for scale: each round's finished rows are persisted the
     moment they are computed and superseded ``pending`` caches are
-    unpersisted, so the final result triggers no re-execution of earlier
-    rings and executor storage stays bounded by the live round.
+    unpersisted; after the loop the UNION of rounds is persisted and
+    materialized once, and every per-round cache is released — executor
+    storage after return is exactly one copy of the result (the returned
+    DataFrame is persisted; callers may ``unpersist()`` it when done).
+    Round-2 leaked each round's cache for the session (ADVICE r02).
 
     Returns (query_id, target_id, dist_sq, rank) with rank 1..k by
     (dist_sq, target_id) — deterministic under ties.
@@ -253,13 +256,19 @@ def knn(
         ).where(F.col("rank") <= k)
         ranked = ranked.persist()
         ranked.count()
+        rounds.append(ranked)
         found = ranked if found is None else found.unionByName(ranked)
-    # per-round results are materialized: intermediate state can go now
+    assert found is not None
+    # materialize the union ONCE, then release every per-round cache so
+    # executor storage holds a single copy of the result
+    found = found.persist()
+    found.count()
     for df in to_unpersist:
+        df.unpersist()
+    for df in rounds:
         df.unpersist()
     pending.unpersist()
     t.unpersist()
-    assert found is not None
     return found.select(
         F.col("__qid").alias(query_id),
         F.col("__tid").alias(target_id),

@@ -131,10 +131,16 @@ def verify_lineage(spark: SparkSession, output: str, max_report: int = 1000) -> 
     with open(os.path.join(output, LINEAGE)) as f:
         lineage = json.load(f)
     parent_col = lineage["parent_col"]
-    expected = (
-        spark.read.json(os.path.join(output, lineage.get("lineage_data", LINEAGE_DATA)))
-        .select(F.col(parent_col).cast("string").alias("__p"), F.col("n").alias("expected"))
-    )
+    try:
+        # explicit schema: an empty lineage dataset (zero-row run) or a
+        # legacy output must report a diff, not crash schema inference
+        expected = (
+            spark.read.schema(f"`{parent_col}` string, n long")
+            .json(os.path.join(output, lineage.get("lineage_data", LINEAGE_DATA)))
+            .select(F.col(parent_col).cast("string").alias("__p"), F.col("n").alias("expected"))
+        )
+    except Exception:  # _lineage directory missing entirely (pre-round-2 output)
+        expected = spark.createDataFrame([], "__p string, expected long")
     try:
         df = spark.read.parquet(output)
         actual = df.groupBy(
@@ -194,13 +200,32 @@ def index_checkpointed(
 ) -> CheckpointedRun:
     """``pipeline.index`` with stage boundaries materialized under
     ``checkpoint_dir`` — re-running with the same fingerprint resumes
-    from the latest completed stage."""
+    from the latest completed stage.
+
+    Accepts the same configuration surface as ``pipeline.index`` (CRS
+    reprojection, projected katana, spatial sort, keep_spans) and folds
+    every option into the stage fingerprint: a checkpoint written under
+    one CRS/sort config can never silently serve a run with another
+    (ADVICE r02 high — the old path dropped --source_crs and parsed
+    projected meters as degrees).  Unknown kwargs raise instead of being
+    ignored."""
     from vector2dggs_spark.dggs import get_backend
     from vector2dggs_spark.operators.compaction import compact_cells_df
     from vector2dggs_spark.operators.polyfill import index_cells
     from vector2dggs_spark.operators.prepare import prepare
     from vector2dggs_spark.sources.documents import extract_geometries
 
+    known = {
+        "dggs", "resolution", "parent_res", "compact", "cut_threshold_deg2",
+        "source_crs", "cut_crs", "cut_threshold_units2", "spatial_sort",
+        "keep_spans",
+    }
+    unknown = set(index_kwargs) - known
+    if unknown:
+        raise ValueError(
+            f"index_checkpointed: unsupported options {sorted(unknown)} "
+            f"(supported: {sorted(known)})"
+        )
     dggs = index_kwargs.get("dggs", "geohash")
     resolution = index_kwargs.get("resolution", 6)
     backend = get_backend(dggs)
@@ -208,7 +233,23 @@ def index_checkpointed(
     cut = index_kwargs.get("cut_threshold_deg2")
     if cut is None:
         cut = backend.default_cut_threshold_deg2(parent_res)
-    fp = f"{fingerprint}|{dggs}|r{resolution}|p{parent_res}|c{cut}"
+    source_crs = index_kwargs.get("source_crs")
+    cut_crs = index_kwargs.get("cut_crs")
+    cut_units2 = index_kwargs.get("cut_threshold_units2")
+    if cut_crs is not None and cut_units2 is None:
+        cut_units2 = cut * (111_320.0**2)  # mirror pipeline.index default
+    spatial_sort = index_kwargs.get("spatial_sort", "geohash")
+    if spatial_sort not in ("geohash", "morton", "hilbert", "none"):
+        raise ValueError(f"unknown spatial_sort {spatial_sort!r}")
+    for code in (source_crs, cut_crs):
+        if code not in (None, 4326, "EPSG:4326"):
+            from vector2dggs_spark.geometry.crs import get_crs
+
+            get_crs(code)  # fail fast at plan time
+    fp = (
+        f"{fingerprint}|{dggs}|r{resolution}|p{parent_res}|c{cut}"
+        f"|crs{source_crs}|cut{cut_crs}:{cut_units2}|s{spatial_sort}"
+    )
 
     from pyspark.sql import Observation
 
@@ -223,7 +264,15 @@ def index_checkpointed(
         # job over the inputs (SURVEY A6)
         obs_in = Observation()
         geoms = extract_geometries(docs).observe(obs_in, F.count(F.lit(1)).alias("n"))
-        prepared = prepare(geoms, backend, cut)
+        prepared = prepare(
+            geoms,
+            backend,
+            cut,
+            sort_method=spatial_sort,
+            source_crs=source_crs,
+            cut_crs=cut_crs,
+            cut_threshold_units2=cut_units2,
+        )
         prepared = stage_checkpoint(prepared, checkpoint_dir, "prepare", fp)
         n_geoms = int(obs_in.get["n"] or 0)
         # surviving-feature count: a column-pruned scan of the
@@ -241,7 +290,16 @@ def index_checkpointed(
             with open(_manifest_path(os.path.join(checkpoint_dir, "prepare")), "w") as f:
                 json.dump(m_cur, f, indent=2)
 
-    cells = index_cells(prepared.repartitionByRange("sort_key"), backend, resolution)
+    if spatial_sort != "none":
+        # same hash-prefix shuffle as pipeline.index (range sampling over
+        # a parquet stage is safe but still a second scan)
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        prepared = prepared.repartition(
+            nparts,
+            F.substring("sort_key", 1, 4),
+            F.pmod(F.xxhash64("part_uid"), F.lit(8)),
+        )
+    cells = index_cells(prepared, backend, resolution)
     lines = cells.where(F.col("geom_type") == "LineString").dropDuplicates(["doc_id", "cell"])
     others = cells.where(F.col("geom_type") != "LineString")
     cells = others.unionByName(lines)
@@ -256,6 +314,11 @@ def index_checkpointed(
         out = compact_cells_df(out, backend, resolution, parent_res, cell_col)
         out = out.withColumn(parent_col, backend.parent_expr(F.col(cell_col), resolution, parent_res))
         out = stage_checkpoint(out, checkpoint_dir, "compacted", fp)
+
+    if index_kwargs.get("keep_spans"):
+        # keep-attributes analog — joined AFTER the checkpointed stages so
+        # the materialized cell table stays narrow (pipeline.index parity)
+        out = out.join(docs, "doc_id", "left")
 
     return CheckpointedRun(
         cells=out,

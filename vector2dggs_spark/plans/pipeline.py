@@ -235,16 +235,28 @@ def write_partitioned(
     cell stays under AUTO_SINGLE_FILE_ROW_CAP rows, parallel layout
     above it — so the reference-parity default cannot serialize one hot
     parent through a single task at scale (VERDICT r01 #6).
+
+    The auto probe (a ``groupBy(parent).count()`` max) runs ONLY when
+    ``result.cells`` is already marked for caching (the CLI path): then
+    it costs one cached-scan aggregate and the write reuses the cache.
+    For an uncached plan the probe would execute the whole pipeline
+    (scan + Arrow prepare + polyfill) twice (ADVICE r02 medium), so the
+    default resolves to the parallel layout with a row cap — always
+    safe, exactly one job at any scale.
     """
     df = result.cells
     if single_file_per_partition is None:
-        top = (
-            df.groupBy(result.parent_col)
-            .count()
-            .agg(F.max("count").alias("m"))
-            .first()
-        )
-        single_file_per_partition = int(top["m"] or 0) <= AUTO_SINGLE_FILE_ROW_CAP
+        lvl = df.storageLevel
+        if lvl.useMemory or lvl.useDisk:
+            top = (
+                df.groupBy(result.parent_col)
+                .count()
+                .agg(F.max("count").alias("m"))
+                .first()
+            )
+            single_file_per_partition = int(top["m"] or 0) <= AUTO_SINGLE_FILE_ROW_CAP
+        else:
+            single_file_per_partition = False
         if not single_file_per_partition and max_records_per_file is None:
             max_records_per_file = AUTO_SINGLE_FILE_ROW_CAP
     if single_file_per_partition:
