@@ -9,6 +9,23 @@ from pyspark.sql import functions as F
 from vector2dggs_spark.geometry import crs
 
 
+def test_tm_inverse_rejects_out_of_domain():
+    """ADVICE r02: extreme out-of-zone coordinates must raise a clean
+    ValueError instead of overflowing through sinh into NaN (asserted
+    warning-free via errstate raise)."""
+    nz = crs.get_crs(2193)
+    with np.errstate(over="raise", invalid="raise"):
+        # in-domain roundtrip still clean under raised errstate
+        lo, la = nz.inverse(*nz.forward(np.array([174.0]), np.array([-41.0])))
+        assert abs(lo[0] - 174.0) < 1e-9
+        with pytest.raises(ValueError, match="out of the projection domain"):
+            nz.inverse(np.array([1e9]), np.array([5e6]))
+        with pytest.raises(ValueError, match="out of the projection domain"):
+            nz.inverse(np.array([1.7e6]), np.array([1e9]))
+        with pytest.raises(ValueError, match="out of the projection domain"):
+            nz.inverse(np.array([np.nan]), np.array([5e6]))
+
+
 def test_tm_roundtrip_and_anchors():
     nz = crs.get_crs(2193)
     rng = np.random.default_rng(5)

@@ -152,15 +152,26 @@ def test_linetrace_astar_skips_corner_cells():
     assert ends <= a
 
 
-def test_linetrace_astar_cost_optimal_vs_dijkstra():
+@pytest.mark.parametrize(
+    "prec,seg",
+    [
+        # sub-degree segment at fixture precision (round-2 coverage)
+        (5, ((-176.48, -44.18), (-176.33, -44.04))),
+        # multi-degree segment at a coarse precision: the round-2 squared
+        # heuristic was inadmissible here (ADVICE r02 — cell width ~1.4°,
+        # segment spans ~8°) and could terminate on a suboptimal path
+        (3, ((-176.5, -44.2), (-169.0, -40.5))),
+        # long diagonal at precision 4 crossing many cells
+        (4, ((-176.6, -44.4), (-172.0, -43.0))),
+    ],
+)
+def test_linetrace_astar_cost_optimal_vs_dijkstra(prec, seg):
     """Independent oracle: the A* meeting path cost equals the true
     minimum path cost from a plain Dijkstra over the same step costs
     (1 + w·perp-distance), so the bidirectional termination is sound."""
     import heapq
 
     w = 1.0
-    seg = ((-176.48, -44.18), (-176.33, -44.04))
-    prec = 5
     dlat, dlon = G.cell_dims(prec)
     nx, ny = int(round(360 / dlon)), int(round(180 / dlat))
 

@@ -111,8 +111,6 @@ def test_crs_roundtrip(lat, lon, code):
     from vector2dggs_spark.geometry import crs
 
     p = crs.get_crs(code)
-    x, y = p.forward(np.array([lon]), np.array([lat]))
-    lo, la = p.inverse(x, y)
     if code == 3857:
         tol = 1e-9
     else:
@@ -120,8 +118,18 @@ def test_crs_roundtrip(lat, lon, code):
         lon0 = {2193: 173.0}.get(code, (code % 100) * 6 - 183)
         d = abs((lon - lon0 + 180) % 360 - 180)
         if d > 40:
-            return  # out of the projection's domain of validity
+            # out of the projection's domain of validity: forward may
+            # land outside the inverse's clamped domain, where inverse
+            # now raises a clean ValueError instead of NaN-propagating
+            x, y = p.forward(np.array([lon]), np.array([lat]))
+            try:
+                p.inverse(x, y)
+            except ValueError as e:
+                assert "out of the projection domain" in str(e)
+            return
         tol = 1e-7 if d < 10 else 1e-3
+    x, y = p.forward(np.array([lon]), np.array([lat]))
+    lo, la = p.inverse(x, y)
     assert abs(((lo[0] - lon + 180) % 360) - 180) < tol
     assert abs(la[0] - lat) < tol
 

@@ -320,13 +320,18 @@ def _astar_segment_cells(
     segment endpoints, on the geohash lat/lon grid (grid-space ints).
 
     Published semantics (reference traversal.py): each step into a cell
-    costs ``1 + w · perp_distance(cell center, segment)`` with the
-    deviation penalty in g (heuristic stays the squared degree distance
-    to the goal cell center, an underestimate at sub-degree cell sizes);
-    the two frontiers stop when the best meeting cost can no longer be
-    beaten (Kaindl-Kainz condition).  Implemented on integer grid
-    coordinates with vector-free scalar math — this runs per segment
-    inside the Arrow batch, like the reference's per-geometry loop.
+    costs ``1 + w · perp_distance(cell center, segment)``; the two
+    frontiers stop when the best meeting cost can no longer be beaten
+    (Kaindl-Kainz condition ``best <= max(fmin_fwd, fmin_bwd)``).  The
+    heuristic is the straight-line degree distance to the goal center
+    divided by the cell diagonal: one step moves a center by at most the
+    diagonal and costs at least 1, so ``dist/diag`` underestimates the
+    remaining cost at EVERY scale (admissible AND consistent — the
+    round-2 squared-distance heuristic stopped being an underestimate
+    once a segment spanned more than ~1 cell-width degrees, ADVICE r02).
+    Implemented on integer grid coordinates with vector-free scalar math
+    — this runs per segment inside the Arrow batch, like the reference's
+    per-geometry loop.
     """
     import heapq
 
@@ -337,6 +342,8 @@ def _astar_segment_cells(
     if s == e:
         return {s}
 
+    diag = float(np.hypot(dlat, dlon))
+
     def center_lonlat(c):
         return ((c[0] + 0.5) * dlon - 180.0, (c[1] + 0.5) * dlat - 90.0)
 
@@ -346,7 +353,7 @@ def _astar_segment_cells(
     def make_h(glon, glat):
         def h(c):
             lon, lat = center_lonlat(c)
-            return (lat - glat) ** 2 + (lon - glon) ** 2
+            return float(np.hypot(lat - glat, lon - glon)) / diag
 
         return h
 
@@ -366,7 +373,7 @@ def _astar_segment_cells(
     meet = None
     while heaps[0] and heaps[1]:
         f0, f1 = heaps[0][0][0], heaps[1][0][0]
-        if meet is not None and best <= f0 + f1:
+        if meet is not None and best <= max(f0, f1):
             break
         side = 0 if f0 <= f1 else 1
         other = 1 - side

@@ -101,11 +101,29 @@ class TransverseMercator:
         N = self.false_n + self.k0 * self._A * x - self.k0 * self._m0
         return E, N
 
+    # series/Newton domain: |eta| = 3.2 is ~20,000 km from the central
+    # meridian (half the circumference) — any easting beyond it is a bad
+    # coordinate, and sinh(2j·eta) overflows soon after, so reject it
+    # explicitly instead of propagating NaN (ADVICE r02)
+    _MAX_ETA = 3.2
+    _MAX_XI = 2.0  # |xi| = pi/2 is the pole; 2.0 leaves series headroom
+
     def inverse(self, E, N):
         xi = (np.asarray(N, dtype=np.float64) - self.false_n + self.k0 * self._m0) / (
             self.k0 * self._A
         )
         eta = (np.asarray(E, dtype=np.float64) - self.false_e) / (self.k0 * self._A)
+        bad = ~np.isfinite(eta) | ~np.isfinite(xi) | (np.abs(eta) > self._MAX_ETA) | (
+            np.abs(xi) > self._MAX_XI
+        )
+        if np.any(bad):
+            i = int(np.argmax(np.atleast_1d(bad)))
+            raise ValueError(
+                "TransverseMercator.inverse: coordinate out of the projection "
+                f"domain (first offender index {i}: "
+                f"E={np.atleast_1d(E)[i]!r}, N={np.atleast_1d(N)[i]!r}; "
+                f"|eta|<={self._MAX_ETA}, |xi|<={self._MAX_XI} required)"
+            )
         xi_p = xi.copy()
         eta_p = eta.copy()
         for j, be in enumerate(self._beta, 1):
