@@ -337,15 +337,119 @@ WHERE rnk <= 10
 )
 
 
-# ------------------------------------------------- pipeline ops (rows-only)
-def _q_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector2dggs_spark import index
-    from vector2dggs_spark.sources.documents import documents_df
+# ------------------------------------------ polyfill pipeline WITH oracle
+# The flagship geohash pipeline (prepare -> katana -> polyfill -> dedup ->
+# parent), hash-checked end-to-end vs DuckDB (VERDICT r02 #3).  The
+# corpus is derived from `events` with double-exact SQL arithmetic:
+# 60% POINT docs (exercising the native zero-shuffle branch) and 40%
+# axis-aligned rectangles (every ~400th one 0.25° — large enough that
+# katana MUST bisect it at threshold 0.01 deg²).  Axis-aligned rects
+# make the oracle exact: the center-inside test is two strict interval
+# checks, and rect edges are generic doubles so a cell center can never
+# sit on a boundary or katana cut line (exact-equality measure zero).
+_GEO_RES, _GEO_PARENT = 6, 3
 
-    docs = documents_df(spark, 800, seed=42)
-    r = index(spark, docs, dggs="geohash", resolution=6, parent_res=3,
-              cut_threshold_deg2=0.01)
+
+def _geo_corpus_sql(table: str = "events", id_col: str = "event_id") -> str:
+    """doc_id, kind, lon/lat (centers), x0/y0/x1/y1 (rect bounds) —
+    IDENTICAL text in both dialects; all fractional literals pinned to
+    double so the WKT Spark builds and the bounds DuckDB tests are the
+    same IEEE-754 values."""
+    lat = f"({G.dlit(-44.4)} + ({id_col} % 700) * {G.dlit(0.001)})"
+    lon = f"({G.dlit(-176.6)} + (({id_col} * 7) % 400) * {G.dlit(0.001)})"
+    big = f"{id_col} % 397 = 0"
+    w = f"(CASE WHEN {big} THEN {G.dlit(0.25)} ELSE {G.dlit(0.004)} + ({id_col} % 7) * {G.dlit(0.004)} END)"
+    h = f"(CASE WHEN {big} THEN {G.dlit(0.25)} ELSE {G.dlit(0.004)} + ({id_col} % 5) * {G.dlit(0.005)} END)"
+    return f"""
+SELECT doc_id, kind, lon, lat,
+       (lon - w * {G.dlit(0.5)}) AS x0, (lat - h * {G.dlit(0.5)}) AS y0,
+       (lon + w * {G.dlit(0.5)}) AS x1, (lat + h * {G.dlit(0.5)}) AS y1
+FROM (
+  SELECT ('g' || cast({id_col} as string)) AS doc_id,
+         (CASE WHEN {id_col} % 5 < 3 THEN 'point' ELSE 'rect' END) AS kind,
+         {lat} AS lat, {lon} AS lon, {w} AS w, {h} AS h
+  FROM {table}) __c
+"""
+
+
+def _q_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from vector2dggs_spark import index
+
+    load_views(spark, sf_dir)
+    corpus = spark.sql(_geo_corpus_sql())
+    s = lambda c: F.col(c).cast("string")  # noqa: E731 — Java shortest-repr
+    # round-trips exactly through the numpy WKT parse
+    point_wkt = F.concat(F.lit("POINT ("), s("lon"), F.lit(" "), s("lat"), F.lit(")"))
+    rect_wkt = F.concat(
+        F.lit("POLYGON (("),
+        s("x0"), F.lit(" "), s("y0"), F.lit(", "),
+        s("x1"), F.lit(" "), s("y0"), F.lit(", "),
+        s("x1"), F.lit(" "), s("y1"), F.lit(", "),
+        s("x0"), F.lit(" "), s("y1"), F.lit(", "),
+        s("x0"), F.lit(" "), s("y0"), F.lit("))"),
+    )
+    wkt = F.when(F.col("kind") == "point", point_wkt).otherwise(rect_wkt)
+    docs = corpus.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("geometry").alias("kind"),
+                wkt.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    r = index(spark, docs, dggs="geohash", resolution=_GEO_RES,
+              parent_res=_GEO_PARENT, cut_threshold_deg2=0.01)
     return r.cells
+
+
+def _polyfill_oracle_sql() -> str:
+    """DuckDB restatement of the whole pipeline: point encode (shared
+    bit-arithmetic SQL) + per-rect cell enumeration via correlated
+    generate_series + strict center-inside test.  Index bounds, centers
+    and the inside test are the SAME double expressions the numpy
+    kernels evaluate (dggs/geohash.py:217-239), so the match is exact."""
+    from vector2dggs_spark.dggs.geohash import cell_dims
+
+    dlat, dlon = cell_dims(_GEO_RES)
+    pts = G.geohash_select_sql(
+        "SELECT doc_id, lat, lon FROM geo WHERE kind = 'point'",
+        "lat", "lon", _GEO_RES, ["doc_id"], out="cell",
+    )
+    rc = G.geohash_select_sql(
+        "SELECT doc_id, clat, clon FROM ins",
+        "clat", "clon", _GEO_RES, ["doc_id"], out="cell",
+    )
+    p = _GEO_PARENT
+    return f"""
+WITH geo AS ({_geo_corpus_sql()}),
+rects AS (SELECT doc_id, x0, y0, x1, y1 FROM geo WHERE kind = 'rect'),
+cx AS (SELECT doc_id, x0, y0, x1, y1,
+              unnest(generate_series(
+                cast(floor((x0 + {G.dlit(180.0)}) / {G.dlit(dlon)}) as bigint),
+                cast(floor((x1 + {G.dlit(180.0)}) / {G.dlit(dlon)}) as bigint))) AS ix
+       FROM rects),
+cxy AS (SELECT doc_id, x0, y0, x1, y1, ix,
+               unnest(generate_series(
+                 cast(floor((y0 + {G.dlit(90.0)}) / {G.dlit(dlat)}) as bigint),
+                 cast(floor((y1 + {G.dlit(90.0)}) / {G.dlit(dlat)}) as bigint))) AS iy
+        FROM cx),
+ctr AS (SELECT doc_id, x0, y0, x1, y1,
+               ({G.dlit(-180.0)} + (ix + {G.dlit(0.5)}) * {G.dlit(dlon)}) AS clon,
+               ({G.dlit(-90.0)} + (iy + {G.dlit(0.5)}) * {G.dlit(dlat)}) AS clat
+        FROM cxy),
+ins AS (SELECT doc_id, clat, clon FROM ctr
+        WHERE clon > x0 AND clon < x1 AND clat > y0 AND clat < y1),
+allc AS (SELECT doc_id, cell FROM ({pts}) __p
+         UNION ALL SELECT doc_id, cell FROM ({rc}) __r)
+SELECT cell AS geohash_{_GEO_RES:02d}, doc_id,
+       substring(cell, 1, {p}) AS geohash_{p:02d}
+FROM allc
+"""
 
 
 def _q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,7 +598,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q11_langid": Q11,
     "q12_minhash_lsh_pairs": Q12,
     "q13_ann_cosine_topk": Q13,
-    "q14_polyfill_pipeline_geohash": (_q_polyfill, None),
+    "q14_polyfill_pipeline_geohash": (_q_polyfill, _polyfill_oracle_sql()),
     "q15_compaction_pipeline": (_q_compaction, None),
     "q16_pipeline_rhp": (_q_rhp, None),
     "q17_knn_h3": (_q_knn_h3, _KNN_ORACLE),
