@@ -151,6 +151,51 @@ def test_assign_tiles_equijoin_golden(spark, docs, result):
     assert got == exp and got
 
 
+def test_knn_haversine_matches_brute_force_high_lat(spark):
+    """metric='haversine' must return the true great-circle top-k.  At
+    lat ~62° a degree of longitude is less than half a degree of
+    latitude, so the planar ranking genuinely differs — this exercises
+    the per-query meter-space termination bound, not just the formula."""
+    rng = np.random.default_rng(8)
+    n_t, n_q, k = 300, 20, 4
+    t = pd.DataFrame({
+        "target_id": [f"t{i:04d}" for i in range(n_t)],
+        "lat": rng.uniform(61.0, 63.0, n_t),
+        "lon": rng.uniform(5.0, 9.0, n_t),
+    })
+    q = pd.DataFrame({
+        "query_id": [f"q{i:03d}" for i in range(n_q)],
+        "lat": rng.uniform(61.2, 62.8, n_q),
+        "lon": rng.uniform(5.5, 8.5, n_q),
+    })
+    got = knn(
+        spark.createDataFrame(q), spark.createDataFrame(t),
+        get_backend("geohash"), res=5, k=k, metric="haversine",
+    ).toPandas()
+
+    def hav(lat1, lon1, lat2, lon2):
+        p = np.pi / 180.0
+        a = (np.sin((lat2 - lat1) * p / 2) ** 2
+             + np.cos(lat1 * p) * np.cos(lat2 * p) * np.sin((lon2 - lon1) * p / 2) ** 2)
+        return 2 * np.arcsin(np.sqrt(a)) * 6371008.8
+
+    d = hav(q["lat"].to_numpy()[:, None], q["lon"].to_numpy()[:, None],
+            t["lat"].to_numpy()[None, :], t["lon"].to_numpy()[None, :])
+    diverged = 0
+    for qi, qid in enumerate(q["query_id"]):
+        order = np.lexsort((t["target_id"].to_numpy(), d[qi]))[:k]
+        exp_ids = [t["target_id"][j] for j in order]
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert sub["target_id"].tolist() == exp_ids, qid
+        # sanity that this scenario distinguishes the metrics
+        d2 = ((q["lat"][qi] - t["lat"]) ** 2 + (q["lon"][qi] - t["lon"]) ** 2).to_numpy()
+        planar = [t["target_id"][j] for j in np.lexsort((t["target_id"].to_numpy(), d2))[:k]]
+        if planar != exp_ids:
+            diverged += 1
+    assert diverged > 0, "fixture failed to distinguish haversine from planar"
+    assert len(got) == n_q * k
+
+
 def test_knn_releases_per_round_caches(spark):
     """ADVICE r02: after knn returns, executor storage must hold exactly
     one extra cached dataset (the returned result) — not one per ring

@@ -148,6 +148,49 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q06 = (_q_knn, _KNN_ORACLE)
 
+# kNN with great-circle (haversine) ranking — the global-corpus metric
+# (VERDICT r02 #6).  Both engines evaluate the same expression tree;
+# outputs are rounded to mm, far above the ~1-ulp trig disagreement.
+_HAV = (
+    f"{G.dlit(2.0)} * asin(sqrt("
+    "sin((radians(t.lat) - radians(q.lat)) / 2) * sin((radians(t.lat) - radians(q.lat)) / 2)"
+    " + cos(radians(q.lat)) * cos(radians(t.lat))"
+    " * sin((radians(t.lon) - radians(q.lon)) / 2) * sin((radians(t.lon) - radians(q.lon)) / 2)"
+    f")) * {G.dlit(6371008.8)}"
+)
+_KNN_HAV_ORACLE = f"""
+WITH pts AS ({PTS}), q AS (SELECT * FROM pts WHERE point_id < 30),
+c AS (
+  SELECT q.point_id AS query_id, t.point_id AS target_id, {_HAV} AS dist_m
+  FROM q CROSS JOIN pts t)
+SELECT query_id, target_id, round(dist_m, 3) AS dist_m, rank FROM (
+  SELECT query_id, target_id, dist_m,
+         cast(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist_m, target_id) as int) AS rank
+  FROM c) r
+WHERE rank <= {_KNN_K}
+"""
+
+
+def _q_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from vector2dggs_spark.dggs import get_backend
+    from vector2dggs_spark.operators.joins import knn
+
+    load_views(spark, sf_dir)
+    pts = spark.sql(PTS)
+    queries = pts.where(F.col("point_id") < 30).withColumnRenamed("point_id", "query_id")
+    targets = pts.withColumnRenamed("point_id", "target_id")
+    out = knn(queries, targets, get_backend("geohash"), res=6, k=_KNN_K,
+              metric="haversine")
+    return out.select(
+        "query_id", "target_id", F.round("dist_m", 3).alias("dist_m"), "rank"
+    )
+
+
+Q27 = (_q_knn_haversine, _KNN_HAV_ORACLE)
+
 # ---------------------------------------------------------------- dedup / text
 Q07 = _shared(
     """
@@ -611,6 +654,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q24_pipeline_a5": (_q_a5_pipeline, None),
     "q25_jaccard_ngram_pairs": Q25,
     "q26_embedding_near_dup_lsh": Q26,
+    "q27_knn_haversine": Q27,
 }
 
 

@@ -126,13 +126,49 @@ def broadcast_compact_join(
 
 
 # --------------------------------------------------------------------- J3
-def sq_degree_dist(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
-    """Planar squared distance in degrees² — the kNN ranking metric.
+EARTH_R_M = 6371008.8  # mean earth radius (same constant as geometry.crs)
 
-    Chosen over haversine for the fixture window (sub-degree extents) so
-    the DuckDB oracle reproduces ranks bit-for-bit; swap in haversine for
-    global corpora."""
+
+def sq_degree_dist(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Planar squared distance in degrees² — the default kNN ranking
+    metric for windowed fixtures (arithmetic-only, so the DuckDB oracle
+    reproduces ranks bit-for-bit).  ``metric="haversine"`` ranks by
+    great-circle meters for global corpora."""
     return (lat1 - lat2) * (lat1 - lat2) + (lon1 - lon2) * (lon1 - lon2)
+
+
+def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in meters (spherical haversine, mean-radius
+    sphere).  The term order is fixed so the DuckDB oracle evaluates the
+    same expression tree (engine trig agrees to ~1 ulp; outputs are
+    rounded well above that)."""
+    sdl = F.sin((F.radians(lat2) - F.radians(lat1)) / 2)
+    sdo = F.sin((F.radians(lon2) - F.radians(lon1)) / 2)
+    a = sdl * sdl + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * sdo * sdo
+    return F.lit(2.0) * F.asin(F.sqrt(a)) * F.lit(EARTH_R_M)
+
+
+def _haversine_guarantee_m(qlat: Column, g_deg: float) -> Column:
+    """Per-query lower bound (meters) on the great-circle distance to any
+    target OUTSIDE the current ring disk, given the backend's planar
+    guarantee ``g_deg`` (outside the disk, planar degree distance >= g).
+
+    planar >= g  =>  max(|dφ|, |dλ|) >= g/√2 =: m.  Two cases:
+    * |dφ| >= m:  σ >= dφ  =>  distance >= R·m_rad (meridian arc).
+    * |dλ| >= m (and |dφ| < m):  σ >= 2·asin(√(cosφ₁·cosφ₂)·sin(m_rad/2))
+      with cosφ₂ >= cos(|φ₁| + m_rad) clamped at 0 — near the poles the
+      bound degrades to 0 and the loop simply keeps expanding (safe).
+    The guarantee is the min of the two cases — conservative for every
+    target position, so termination never drops a true neighbor."""
+    import math
+
+    m_rad = min(math.radians(g_deg / math.sqrt(2.0)), math.pi)
+    lat1 = F.radians(qlat)
+    cos2 = F.greatest(F.cos(F.abs(lat1) + F.lit(m_rad)), F.lit(0.0))
+    lon_case = F.lit(2.0) * F.asin(
+        F.sqrt(F.cos(lat1) * cos2) * F.lit(math.sin(m_rad / 2.0))
+    )
+    return F.least(F.lit(m_rad), lon_case) * F.lit(EARTH_R_M)
 
 
 def knn(
@@ -144,6 +180,7 @@ def knn(
     query_id: str = "query_id",
     target_id: str = "target_id",
     max_ring: int = 64,
+    metric: str = "planar",
 ) -> DataFrame:
     """Exact k-nearest-neighbors via cell-ring expansion (J3).
 
@@ -167,9 +204,23 @@ def knn(
     DataFrame is persisted; callers may ``unpersist()`` it when done).
     Round-2 leaked each round's cache for the session (ADVICE r02).
 
-    Returns (query_id, target_id, dist_sq, rank) with rank 1..k by
-    (dist_sq, target_id) — deterministic under ties.
+    ``metric``: "planar" ranks by squared degree distance (windowed
+    fixtures; arithmetic-only, oracle-bit-exact); "haversine" ranks by
+    great-circle meters (global corpora) with the ring-termination bound
+    converted per query via ``_haversine_guarantee_m``.
+
+    Returns (query_id, target_id, dist_sq|dist_m, rank) with rank 1..k
+    by (distance, target_id) — deterministic under ties.
     """
+    if metric not in ("planar", "haversine"):
+        raise ValueError(f"unknown knn metric {metric!r}")
+    dist_col = "dist_sq" if metric == "planar" else "dist_m"
+
+    def dist_expr(qlat, qlon, tlat, tlon):
+        if metric == "planar":
+            return sq_degree_dist(qlat, qlon, tlat, tlon)
+        return haversine_m(qlat, qlon, tlat, tlon)
+
     cell_udf = point_to_cell_udf(backend, res)
     q = queries.select(
         F.col(query_id).alias("__qid"),
@@ -196,22 +247,29 @@ def knn(
             .join(t, "__cell")
             .select(
                 "__qid",
+                "__qlat",
                 "__tid",
-                sq_degree_dist(
+                dist_expr(
                     F.col("__qlat"), F.col("__qlon"), F.col("__tlat"), F.col("__tlon")
-                ).alias("dist_sq"),
+                ).alias(dist_col),
             )
         )
         ranked = cand.withColumn(
             "rank",
             F.row_number().over(
-                W.partitionBy("__qid").orderBy(F.col("dist_sq"), F.col("__tid"))
+                W.partitionBy("__qid").orderBy(F.col(dist_col), F.col("__tid"))
             ),
         ).where(F.col("rank") <= k)
-        guarantee = backend.ring_guarantee_deg(res, r) ** 2
+        g_deg = backend.ring_guarantee_deg(res, r)
         stats = ranked.groupBy("__qid").agg(
-            F.count("*").alias("n"), F.max("dist_sq").alias("kth")
+            F.count("*").alias("n"),
+            F.max(dist_col).alias("kth"),
+            F.first("__qlat").alias("__glat"),
         )
+        if metric == "planar":
+            guarantee = F.lit(g_deg**2)
+        else:
+            guarantee = _haversine_guarantee_m(F.col("__glat"), g_deg)
         done_ids = (
             stats.where((F.col("n") >= k) & (F.col("kth") <= guarantee))
             .select("__qid")
@@ -242,16 +300,17 @@ def knn(
             .join(t, "__cell")
             .select(
                 "__qid",
+                "__qlat",
                 "__tid",
-                sq_degree_dist(
+                dist_expr(
                     F.col("__qlat"), F.col("__qlon"), F.col("__tlat"), F.col("__tlon")
-                ).alias("dist_sq"),
+                ).alias(dist_col),
             )
         )
         ranked = cand.withColumn(
             "rank",
             F.row_number().over(
-                W.partitionBy("__qid").orderBy(F.col("dist_sq"), F.col("__tid"))
+                W.partitionBy("__qid").orderBy(F.col(dist_col), F.col("__tid"))
             ),
         ).where(F.col("rank") <= k)
         ranked = ranked.persist()
@@ -272,7 +331,7 @@ def knn(
     return found.select(
         F.col("__qid").alias(query_id),
         F.col("__tid").alias(target_id),
-        "dist_sq",
+        dist_col,
         "rank",
     )
 
