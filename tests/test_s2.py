@@ -52,6 +52,80 @@ def test_children_partition_and_compact():
     assert S.compact(set(one[:-1])) == set(one[:-1])
 
 
+def _tok(v: int) -> str:
+    """Published token rule, restated independently in the test: 16-digit
+    zero-padded hex with trailing zeros stripped."""
+    return f"{v:016x}".rstrip("0")
+
+
+def test_bit_layout_anchor_vectors():
+    """Anchor vectors derived BY HAND from the published S2 cell-id bit
+    layout (VERDICT r02 #5) — no library, no recalled outputs:
+
+    * id = face(3 bits) · Hilbert position · trailing 1 at bit 2·(30-l)
+    * level-0 face cells: (f<<61) | 1<<60  ->  tokens 1/3/5/7/9/b
+    * children of a cell with lsb L: id + (2i-3)·(L>>2), i = 0..3
+    * parent at level l: (id & -lsb_l) | lsb_l
+    * minimum-position descendant at level l: (f<<61) | 1<<(2·(30-l))
+    """
+    for f in range(6):
+        face_id = (f << 61) | (1 << 60)
+        assert S.to_token(np.array([face_id], dtype=np.uint64))[0] == _tok(face_id)
+        assert int(S.from_token([_tok(face_id)])[0]) == face_id
+        # child arithmetic at the first three levels
+        ids = [face_id]
+        for lv in range(1, 4):
+            new = []
+            for pid in ids:
+                lsb = pid & (~pid + 1 & 0xFFFFFFFFFFFFFFFF)
+                kids = [(pid + (2 * i - 3) * (lsb >> 2)) & 0xFFFFFFFFFFFFFFFF
+                        for i in range(4)]
+                got = sorted(S.children(pid, lv))
+                assert got == sorted(kids), (f, lv, pid)
+                for kid in kids:
+                    # published parent formula inverts the child step
+                    plsb = 1 << (2 * (30 - (lv - 1)))
+                    want_parent = (kid & ((~plsb + 1) & 0xFFFFFFFFFFFFFFFF)) | plsb
+                    assert want_parent == pid
+                    assert int(S.parent(np.array([kid], dtype=np.uint64), lv - 1)[0]) == pid
+                    assert int(S.get_level(np.array([kid], dtype=np.uint64))[0]) == lv
+                new.extend(kids)
+            ids = new
+        # minimum-position walk: token of (f<<61)|1<<(2*(30-l))
+        for lv in (1, 2, 3, 7, 15, 30):
+            vid = (f << 61) | (1 << (2 * (30 - lv)))
+            assert S.to_token(np.array([vid], dtype=np.uint64))[0] == _tok(vid)
+            assert int(S.get_level(np.array([vid], dtype=np.uint64))[0]) == lv
+            b = get_backend("s2")
+            assert b.designated_child(_tok(face_id), lv) == _tok(vid)
+
+
+def test_parent_expr_anchor_vectors_high_faces(spark):
+    """The native split-halves parent expr must reproduce the hand
+    formula on faces 4-5, where the u64 id has the sign bit set (the
+    signed-conv overflow zone the implementation works around)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    b = get_backend("s2")
+    rows = []
+    for f in (4, 5):
+        for lv in (5, 13, 30):
+            vid = (f << 61) | (1 << (2 * (30 - lv)))
+            # a non-minimal position too: third child chain offset
+            vid2 = vid + (0b1101 << (2 * (30 - lv) + 1))
+            rows += [(_tok(vid), lv), (_tok(vid2), lv)]
+    for parent_lv in (2, 4):
+        df = spark.createDataFrame(pd.DataFrame({"c": [t for t, _ in rows],
+                                                 "lv": [l for _, l in rows]}))
+        got = df.withColumn("p", b.parent_expr(F.col("c"), 30, parent_lv)).toPandas()
+        for (tok, lv), p in zip(rows, got["p"]):
+            vid = int(S.from_token([tok])[0])
+            plsb = 1 << (2 * (30 - parent_lv))
+            want = (vid & ((~plsb + 1) & 0xFFFFFFFFFFFFFFFF)) | plsb
+            assert p == _tok(want), (tok, parent_lv)
+
+
 def test_hilbert_adjacency():
     """Consecutive position ids at a level are spatially adjacent cells
     (the defining Hilbert-curve property)."""
