@@ -393,16 +393,20 @@ WHERE rnk <= 10
 _GEO_RES, _GEO_PARENT = 6, 3
 
 
-def _geo_corpus_sql(table: str = "events", id_col: str = "event_id") -> str:
+def _geo_corpus_sql(table: str = "events", id_col: str = "event_id",
+                    big_deg: float = 0.25) -> str:
     """doc_id, kind, lon/lat (centers), x0/y0/x1/y1 (rect bounds) —
     IDENTICAL text in both dialects; all fractional literals pinned to
     double so the WKT Spark builds and the bounds DuckDB tests are the
-    same IEEE-754 values."""
+    same IEEE-754 values.  ``big_deg``: side of every ~400th 'hot' rect
+    (0.25 forces katana at threshold 0.01; 0.8 additionally completes
+    res-5 AND res-4 sibling sets for the compaction oracle while staying
+    below the 1.4° res-3 cell, so the floor never triggers)."""
     lat = f"({G.dlit(-44.4)} + ({id_col} % 700) * {G.dlit(0.001)})"
     lon = f"({G.dlit(-176.6)} + (({id_col} * 7) % 400) * {G.dlit(0.001)})"
     big = f"{id_col} % 397 = 0"
-    w = f"(CASE WHEN {big} THEN {G.dlit(0.25)} ELSE {G.dlit(0.004)} + ({id_col} % 7) * {G.dlit(0.004)} END)"
-    h = f"(CASE WHEN {big} THEN {G.dlit(0.25)} ELSE {G.dlit(0.004)} + ({id_col} % 5) * {G.dlit(0.005)} END)"
+    w = f"(CASE WHEN {big} THEN {G.dlit(big_deg)} ELSE {G.dlit(0.004)} + ({id_col} % 7) * {G.dlit(0.004)} END)"
+    h = f"(CASE WHEN {big} THEN {G.dlit(big_deg)} ELSE {G.dlit(0.004)} + ({id_col} % 5) * {G.dlit(0.005)} END)"
     return f"""
 SELECT doc_id, kind, lon, lat,
        (lon - w * {G.dlit(0.5)}) AS x0, (lat - h * {G.dlit(0.5)}) AS y0,
@@ -415,13 +419,14 @@ FROM (
 """
 
 
-def _q_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_polyfill(spark: SparkSession, sf_dir: str, big_deg: float = 0.25,
+                compact: bool = False) -> DataFrame:
     from pyspark.sql import functions as F
 
     from vector2dggs_spark import index
 
     load_views(spark, sf_dir)
-    corpus = spark.sql(_geo_corpus_sql())
+    corpus = spark.sql(_geo_corpus_sql(big_deg=big_deg))
     s = lambda c: F.col(c).cast("string")  # noqa: E731 — Java shortest-repr
     # round-trips exactly through the numpy WKT parse
     point_wkt = F.concat(F.lit("POINT ("), s("lon"), F.lit(" "), s("lat"), F.lit(")"))
@@ -446,12 +451,13 @@ def _q_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("spans"),
     )
     r = index(spark, docs, dggs="geohash", resolution=_GEO_RES,
-              parent_res=_GEO_PARENT, cut_threshold_deg2=0.01)
+              parent_res=_GEO_PARENT, cut_threshold_deg2=0.01, compact=compact)
     return r.cells
 
 
-def _polyfill_oracle_sql() -> str:
-    """DuckDB restatement of the whole pipeline: point encode (shared
+def _polyfill_cells_with(big_deg: float) -> str:
+    """The shared WITH-chain producing ``allc(doc_id, cell)`` — DuckDB
+    restatement of the whole pipeline: point encode (shared
     bit-arithmetic SQL) + per-rect cell enumeration via correlated
     generate_series + strict center-inside test.  Index bounds, centers
     and the inside test are the SAME double expressions the numpy
@@ -469,7 +475,7 @@ def _polyfill_oracle_sql() -> str:
     )
     p = _GEO_PARENT
     return f"""
-WITH geo AS ({_geo_corpus_sql()}),
+WITH geo AS ({_geo_corpus_sql(big_deg=big_deg)}),
 rects AS (SELECT doc_id, x0, y0, x1, y1 FROM geo WHERE kind = 'rect'),
 cx AS (SELECT doc_id, x0, y0, x1, y1,
               unnest(generate_series(
@@ -488,11 +494,59 @@ ctr AS (SELECT doc_id, x0, y0, x1, y1,
 ins AS (SELECT doc_id, clat, clon FROM ctr
         WHERE clon > x0 AND clon < x1 AND clat > y0 AND clat < y1),
 allc AS (SELECT doc_id, cell FROM ({pts}) __p
-         UNION ALL SELECT doc_id, cell FROM ({rc}) __r)
+         UNION ALL SELECT doc_id, cell FROM ({rc}) __r)"""
+
+
+_FINAL_SELECT = f"""
 SELECT cell AS geohash_{_GEO_RES:02d}, doc_id,
-       substring(cell, 1, {p}) AS geohash_{p:02d}
-FROM allc
+       substring(cell, 1, {_GEO_PARENT}) AS geohash_{_GEO_PARENT:02d}
+FROM {{src}}
 """
+
+
+def _polyfill_oracle_sql(big_deg: float = 0.25) -> str:
+    return _polyfill_cells_with(big_deg) + _FINAL_SELECT.format(src="allc")
+
+
+def _compaction_oracle_sql(big_deg: float = 0.8) -> str:
+    """Compaction (A2) in SQL: iteratively replace complete 32-sibling
+    sets by their parent (geohash merge is a pure prefix group-by), per
+    feature.  A res-k set is complete iff all 32 children were MERGED at
+    k+1, so each level only inspects the previous level's merge output —
+    exactly the reference's iterate-until-fixed-point.  The corpus'
+    largest rect (0.8°) completes res-5 and res-4 sets but can never
+    cover a 1.4° res-3 cell, so the parent_res floor provably never
+    re-expands (floor semantics stay pinned by q15's golden).  Output
+    rows = per-doc compacted cell set — the same row-shrink semantics as
+    compact_cells_df's designated-child relabel projected onto
+    (cell, doc_id, parent)."""
+    return (
+        _polyfill_cells_with(big_deg)
+        + """,
+g5 AS (SELECT doc_id, substring(cell, 1, 5) AS p, count(*) AS n
+       FROM allc GROUP BY 1, 2),
+m5 AS (SELECT doc_id, p FROM g5 WHERE n = 32),
+k6 AS (SELECT a.doc_id, a.cell FROM allc a
+       LEFT JOIN m5 ON m5.doc_id = a.doc_id AND m5.p = substring(a.cell, 1, 5)
+       WHERE m5.p IS NULL),
+g4 AS (SELECT doc_id, substring(p, 1, 4) AS p, count(*) AS n
+       FROM m5 GROUP BY 1, 2),
+m4 AS (SELECT doc_id, p FROM g4 WHERE n = 32),
+k5 AS (SELECT a.doc_id, a.p AS cell FROM m5 a
+       LEFT JOIN m4 ON m4.doc_id = a.doc_id AND m4.p = substring(a.p, 1, 4)
+       WHERE m4.p IS NULL),
+g3 AS (SELECT doc_id, substring(p, 1, 3) AS p, count(*) AS n
+       FROM m4 GROUP BY 1, 2),
+m3 AS (SELECT doc_id, p FROM g3 WHERE n = 32),
+k4 AS (SELECT a.doc_id, a.p AS cell FROM m4 a
+       LEFT JOIN m3 ON m3.doc_id = a.doc_id AND m3.p = substring(a.p, 1, 3)
+       WHERE m3.p IS NULL),
+comp AS (SELECT doc_id, cell FROM k6
+         UNION ALL SELECT doc_id, cell FROM k5
+         UNION ALL SELECT doc_id, cell FROM k4
+         UNION ALL SELECT doc_id, p AS cell FROM m3)"""
+        + _FINAL_SELECT.format(src="comp")
+    )
 
 
 def _q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -655,6 +709,10 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q25_jaccard_ngram_pairs": Q25,
     "q26_embedding_near_dup_lsh": Q26,
     "q27_knn_haversine": Q27,
+    "q28_compaction_oracle": (
+        lambda spark, sf_dir: _q_polyfill(spark, sf_dir, big_deg=0.8, compact=True),
+        _compaction_oracle_sql(),
+    ),
 }
 
 
