@@ -28,10 +28,20 @@ def simhash_sql(dialect: str, table: str = "documents") -> str:
         toks = "split(text, ' ')"
         hashes = f"transform({toks}, t -> {_hash_int_expr('md5(t)', 'spark')})"
         n = "size(hs)"
-        bit_counts = ", ".join(
-            f"size(filter(hs, v -> ((v >> {b}) & 1) = 1)) AS c{b}"
-            for b in range(SIMHASH_BITS)
+        # all 32 bit counters in ONE traversal of the hash array (an
+        # aggregate fold of a 32-field struct) instead of 32
+        # size(filter(...)) re-walks — the same single-fold shape that
+        # made minhash 6x faster (round 2); DuckDB keeps the simple form
+        inits = ", ".join(f"'c{b}', cast(0 as bigint)" for b in range(SIMHASH_BITS))
+        steps = ", ".join(
+            f"'c{b}', acc.c{b} + ((v >> {b}) & 1)" for b in range(SIMHASH_BITS)
         )
+        fold = (
+            f"aggregate(hs, named_struct({inits}), "
+            f"(acc, v) -> named_struct({steps})) AS cc"
+        )
+        bit_counts = f"{fold}"
+        c_ref = lambda b: f"cc.c{b}"  # noqa: E731
     else:
         toks = "string_split(text, ' ')"
         hashes = f"[{_hash_int_expr('md5(t)', 'duckdb')} for t in {toks}]"
@@ -40,8 +50,9 @@ def simhash_sql(dialect: str, table: str = "documents") -> str:
             f"len(list_filter(hs, v -> ((v >> {b}) & 1) = 1)) AS c{b}"
             for b in range(SIMHASH_BITS)
         )
+        c_ref = lambda b: f"c{b}"  # noqa: E731
     bits = " + ".join(
-        f"(CASE WHEN 2 * c{b} >= n THEN cast({1 << b} as bigint) ELSE 0 END)"
+        f"(CASE WHEN 2 * {c_ref(b)} >= n THEN cast({1 << b} as bigint) ELSE 0 END)"
         for b in range(SIMHASH_BITS)
     )
     return f"""
