@@ -318,13 +318,17 @@ def knn(
         rounds.append(ranked)
         found = ranked if found is None else found.unionByName(ranked)
     assert found is not None
-    # materialize the union ONCE, then release every per-round cache so
-    # executor storage holds a single copy of the result
-    found = found.persist()
-    found.count()
+    if len(rounds) > 1:
+        # materialize the union ONCE, then release every per-round cache
+        # so executor storage holds a single copy of the result
+        found = found.persist()
+        found.count()
+        for df in rounds:
+            df.unpersist()
+    # single round: `found` IS rounds[0], already persisted + counted —
+    # re-materializing it would double the result pass for the common
+    # everyone-done-in-ring-1 case
     for df in to_unpersist:
-        df.unpersist()
-    for df in rounds:
         df.unpersist()
     pending.unpersist()
     t.unpersist()
