@@ -151,6 +151,37 @@ def test_assign_tiles_equijoin_golden(spark, docs, result):
     assert got == exp and got
 
 
+def test_bucketed_cell_join_is_shuffle_free(spark, result):
+    """J1 co-location: joining two bucketed cell tables plans ZERO
+    exchanges (the write-once shuffle is amortized across every
+    downstream join) and returns exactly the plain-join rows."""
+    import re
+
+    from vector2dggs_spark.operators.joins import (
+        bucketed_cell_join,
+        write_bucketed_cells,
+    )
+
+    cells = result.cells
+    left = cells.select("geohash_06", "doc_id")
+    right = cells.select("geohash_06", F.col("doc_id").alias("r_doc"))
+    write_bucketed_cells(left, "t_bleft", "geohash_06", buckets=8)
+    write_bucketed_cells(right, "t_bright", "geohash_06", buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_cell_join(spark, "t_bleft", "t_bright", "geohash_06")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"Exchange (hash|range)partitioning", plan), plan
+        got = j.count()
+        exp = left.join(right, "geohash_06").count()
+        assert got == exp > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
 def test_knn_haversine_matches_brute_force_high_lat(spark):
     """metric='haversine' must return the true great-circle top-k.  At
     lat ~62° a degree of longitude is less than half a degree of

@@ -87,6 +87,47 @@ def cell_join(
     return left.join(right, cell_col, how)
 
 
+# ------------------------------------------------------------ J1 co-location
+def write_bucketed_cells(
+    cells: DataFrame,
+    table: str,
+    cell_col: str,
+    buckets: int = 256,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a cell table bucketed (and sorted) by its cell-ID column.
+
+    At 100-TB scale, cell tables are joined repeatedly on the same cell
+    column (J1); hash-bucketing both sides at write time makes every
+    subsequent equi-join shuffle-FREE — the sort-merge join reads
+    co-located buckets directly (plan contains zero exchanges, asserted
+    in tests).  The shuffle is paid once at write, amortized across all
+    downstream joins.  ``buckets`` should be sized so one bucket of the
+    larger table fits an executor core (~hundreds of MB)."""
+    (
+        cells.write.mode(mode)
+        .bucketBy(buckets, cell_col)
+        .sortBy(cell_col)
+        .saveAsTable(table)
+    )
+
+
+def bucketed_cell_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    cell_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two ``write_bucketed_cells`` tables on the cell column.
+
+    Both tables must share the bucket count and column; Spark then plans
+    a zero-exchange sort-merge join (bucket-local).  Falls out of the
+    optimization (and back to a normal shuffled join) automatically if
+    the bucket specs differ — semantics never change, only the plan."""
+    return spark.table(left_table).join(spark.table(right_table), cell_col, how)
+
+
 # --------------------------------------------------------------------- J2
 def ancestor_chain(backend: Backend, cell: Column, res: int, parent_res: int) -> Column:
     """array<string> of [cell@res, parent@res-1, …, parent@parent_res] —
