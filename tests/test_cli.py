@@ -52,6 +52,41 @@ def test_cli_compaction_checkpoint(spark, docs_parquet, tmp_path):
     assert os.path.exists(os.path.join(cp, "compacted", "_MANIFEST.json"))
 
 
+def test_cli_checkpoint_respects_source_crs(spark, tmp_path):
+    """ADVICE r02 high, CLI-level: `index ... --source_crs 2193
+    --checkpoint cp` must produce the SAME cells as the non-checkpoint
+    run (round 2 silently parsed projected meters as lon/lat degrees)."""
+    from vector2dggs_spark.geometry.crs import get_crs
+    from vector2dggs_spark.sources.documents import DOCUMENTS_SCHEMA
+
+    lons = [-176.45, -176.40, -176.35]
+    lats = [-44.15, -44.10, -44.05]
+    e, n = get_crs(2193).forward(lons, lats)
+    rows = [
+        (f"d{i}", [{"kind": "geometry", "text": f"POINT ({e[i]:.3f} {n[i]:.3f})",
+                    "media_ref": None, "offset": 0}])
+        for i in range(3)
+    ]
+    src = str(tmp_path / "nztm_docs.parquet")
+    spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA).write.parquet(src)
+
+    out1, out2, cp = str(tmp_path / "o1"), str(tmp_path / "o2"), str(tmp_path / "cp")
+    assert main(["geohash", src, out1, "-r", "5", "-pr", "2",
+                 "--source_crs", "2193", "-o"], spark=spark) == 0
+    assert main(["geohash", src, out2, "-r", "5", "-pr", "2",
+                 "--source_crs", "2193", "--checkpoint", cp, "-o"], spark=spark) == 0
+    c1 = sorted(tuple(r) for r in spark.read.parquet(out1).collect())
+    c2 = sorted(tuple(r) for r in spark.read.parquet(out2).collect())
+    assert c1 == c2 and len(c1) == 3
+    # and the cells decode back near the true lon/lat (degrees, not meters)
+    from vector2dggs_spark.dggs import geohash as gh
+    import numpy as np
+
+    cells = np.array(sorted({r[0] for r in c1}), dtype=str)
+    lat_c, lon_c = gh.decode_center(cells, 5)
+    assert (np.abs(lon_c + 176.4) < 0.2).all() and (np.abs(lat_c + 44.1) < 0.2).all()
+
+
 def test_cli_error_paths(spark, docs_parquet, tmp_path):
     with pytest.raises(ValueError, match="invalid compression"):
         validate_compression("brotli9000")

@@ -130,6 +130,11 @@ class TransverseMercator:
             xi_p = xi_p - be * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
             eta_p = eta_p - be * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
         lon = self.lon0_deg + np.degrees(np.arctan2(np.sinh(eta_p), np.cos(xi_p)))
+        # normalize to [-180, 180): a central meridian near the
+        # antimeridian (NZTM lon0=173 covering the Chatham Islands)
+        # legitimately yields lon0 + dlon > 180, which would otherwise
+        # clamp to the 180 boundary downstream (round-3 bug fix)
+        lon = np.mod(lon + 180.0, 360.0) - 180.0
         tau_p = np.sin(xi_p) / np.sqrt(np.sinh(eta_p) ** 2 + np.cos(xi_p) ** 2)
         # Newton solve τ(φ) = τ' on the conformal relation
         e = self._e
@@ -159,6 +164,7 @@ class WebMercator:
 
     def inverse(self, x, y):
         lon = np.degrees(np.asarray(x, dtype=np.float64) / self.R)
+        lon = np.mod(lon + 180.0, 360.0) - 180.0
         lat = np.degrees(2 * np.arctan(np.exp(np.asarray(y, dtype=np.float64) / self.R)) - np.pi / 2)
         return lon, lat
 
