@@ -76,8 +76,34 @@ def _executed_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def test_multiprobe_ann_lifts_recall_over_single_bucket(spark, duck):
+    """q29 probes the 9 Hamming<=1 buckets: its top-k must recall
+    strictly more of the brute-force truth than single-bucket q21 on
+    this fixture (mechanism check; absolute recall is data-dependent)."""
+    brute = duck.execute("""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS de FROM embeddings),
+q AS (SELECT vec_id AS query_id, de FROM d WHERE vec_id < 10),
+s AS (SELECT q.query_id, d.vec_id,
+      list_reduce([q.de[i]*d.de[i] for i in range(1, len(q.de)+1)], (a,b)->a+b)
+      / (sqrt(list_reduce([q.de[i]*q.de[i] for i in range(1, len(q.de)+1)], (a,b)->a+b))
+       * sqrt(list_reduce([d.de[i]*d.de[i] for i in range(1, len(d.de)+1)], (a,b)->a+b))) AS cs
+      FROM q JOIN d ON q.query_id != d.vec_id)
+SELECT query_id, vec_id FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) rnk
+  FROM s) WHERE rnk <= 5
+""").fetchall()
+    bset = set(map(tuple, brute))
+    one = {(r["query_id"], r["vec_id"])
+           for r in QUERIES["q21_ann_ivf_bucketed"][0](spark, SF_DIR).collect()}
+    multi = {(r["query_id"], r["vec_id"])
+             for r in QUERIES["q29_ann_ivf_multiprobe"][0](spark, SF_DIR).collect()}
+    assert len(multi & bset) > len(one & bset)
+
+
 @pytest.mark.parametrize(
-    "name", ["q19_simhash_pairs", "q26_embedding_near_dup_lsh", "q12_minhash_lsh_pairs"]
+    "name", ["q19_simhash_pairs", "q26_embedding_near_dup_lsh", "q12_minhash_lsh_pairs",
+             "q29_ann_ivf_multiprobe"]
 )
 def test_dedup_candidate_plans_are_equi_joins(spark, name):
     """VERDICT r02 #1/#2: LSH candidate generation must never execute as

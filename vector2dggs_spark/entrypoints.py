@@ -603,6 +603,10 @@ Q20 = _dialects(
     X.embedding_near_dup_sql("spark"), X.embedding_near_dup_sql("duckdb")
 )
 Q21 = _dialects(X.ann_ivf_sql("spark"), X.ann_ivf_sql("duckdb"))
+# multi-probe variant: each query also searches the 8 Hamming-1 buckets
+Q29 = _dialects(
+    X.ann_ivf_multiprobe_sql("spark"), X.ann_ivf_multiprobe_sql("duckdb")
+)
 # scale path for q20: banded candidate generation (equi-join), exact
 # cosine post-filter — output ⊆ q20, recall pinned in test_entry_contract
 Q26 = _dialects(
@@ -709,6 +713,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q25_jaccard_ngram_pairs": Q25,
     "q26_embedding_near_dup_lsh": Q26,
     "q27_knn_haversine": Q27,
+    "q29_ann_ivf_multiprobe": Q29,
     "q28_compaction_oracle": (
         lambda spark, sf_dir: _q_polyfill(spark, sf_dir, big_deg=0.8, compact=True),
         _compaction_oracle_sql(),
