@@ -152,3 +152,49 @@ def test_windowed_watermark_drops_late_data(spark, tmp_path):
     # past the watermark.
     again = out2[out2.window_start.astype(str).str.contains("10:00")]
     assert len(again) == 1 and int(again.iloc[0]["n"]) == 3, again.to_string()
+
+
+def test_streaming_dedup_matches_batch_and_bounds_state(spark, tmp_path):
+    """Streamed exact dedup == batch keep-first on the same input;
+    duplicates in a later micro-batch (within the watermark) are
+    dropped across batches, proving the state store carries the
+    fingerprints forward."""
+    import datetime as dt
+
+    from vector2dggs_spark.streaming.dedup import (
+        batch_dedup_documents,
+        stream_dedup_documents,
+    )
+
+    in_dir = str(tmp_path / "din")
+    out_dir = str(tmp_path / "dout")
+    cp = str(tmp_path / "dcp")
+    os.makedirs(in_dir)
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def rows(specs):
+        return [(d, t, t0 + dt.timedelta(minutes=m)) for d, t, m in specs]
+
+    schema = "doc_id string, text string, event_time timestamp"
+    batch1 = spark.createDataFrame(
+        rows([("a", "Hello  World", 0), ("b", "unique one", 1),
+              ("c", "hello world", 2)]),  # c duplicates a (case/space-normalized)
+        schema,
+    )
+    batch1.coalesce(1).write.mode("append").parquet(in_dir)
+    q = stream_dedup_documents(spark, in_dir, out_dir, cp, watermark="1 hour")
+    q.awaitTermination(120)
+    # second file: one cross-batch duplicate, one new doc
+    batch2 = spark.createDataFrame(
+        rows([("d", "HELLO WORLD", 10), ("e", "another new", 11)]), schema
+    )
+    batch2.coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = stream_dedup_documents(spark, in_dir, out_dir, cp, watermark="1 hour")
+    q2.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"a", "b", "e"}  # c (same batch) and d (cross batch) dropped
+    both = batch1.unionByName(spark.createDataFrame(
+        rows([("d", "HELLO WORLD", 10), ("e", "another new", 11)]), schema))
+    exp = {r["doc_id"] for r in batch_dedup_documents(both).collect()}
+    assert got == exp
