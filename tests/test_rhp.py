@@ -110,3 +110,42 @@ def test_grid_disk_contains_self_and_neighbors():
     # width in every direction — all 8 neighbors must appear there
     disk2 = rhp.grid_disk(c, 5, 2)
     assert len(set(disk2[0])) >= 9
+
+
+def test_native_sql_encode_matches_numpy_kernel(spark):
+    """The layered Spark-SQL rHP point encode (functions/sqlgen.py —
+    native pipeline path AND the q30 DuckDB oracle formulation) must
+    agree with the production numpy kernel cell-for-cell on a global
+    grid spanning all six faces, both caps, and every cap quadrant."""
+    from vector2dggs_spark.functions.sqlgen import rhp_cells_df
+
+    lats = np.arange(-87.3, 88.0, 3.7)
+    lons = np.arange(-179.1, 180.0, 5.3)
+    glat, glon = np.meshgrid(lats, lons, indexing="ij")
+    glat, glon = glat.ravel(), glon.ravel()
+    for res in (1, 4, 7):
+        expected = rhp.point_to_cell(glat, glon, res)
+        df = spark.createDataFrame(
+            [(int(i), float(la), float(lo)) for i, (la, lo) in enumerate(zip(glat, glon))],
+            "id long, lat double, lon double",
+        )
+        got = {
+            r["id"]: r["cell"]
+            for r in rhp_cells_df(df, "lat", "lon", res, ["id"]).collect()
+        }
+        mismatch = [(i, expected[i], got[i]) for i in range(len(expected)) if got[i] != expected[i]]
+        assert not mismatch, f"res {res}: {mismatch[:5]}"
+
+
+def test_native_sql_encode_is_wholestage_codegen(spark):
+    """The native rHP point path must stay inside WholeStageCodegen —
+    no Python, no BatchEvalPython/ArrowEvalPython in the plan."""
+    from vector2dggs_spark.functions.sqlgen import rhp_cells_df
+
+    df = spark.range(10).selectExpr(
+        "id", "cast(id as double) / 10.0 AS lat", "cast(id as double) AS lon"
+    )
+    plan = rhp_cells_df(df, "lat", "lon", 6, ["id"])._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    # '*(n)' prefixes mark operators fused into WholeStageCodegen
+    assert "*(1) Project" in plan

@@ -634,6 +634,39 @@ def _q_a5_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.cells
 
 
+# ---------------------------------------------------------------- rHP point index
+# Global point spread -> rHP cells at res 6.  Spark runs the PRODUCTION
+# numpy kernel (dggs/rhp.py point_to_cell, Arrow-batched); the oracle is
+# an independently-generated pure-SQL formulation of the same HEALPix
+# projection + authalic series + base-3 digit fold (sqlgen.rhp_select_sql)
+# evaluated by DuckDB — a hard external signal for the C5-C7 cell math
+# that previously had only golden-hash pipeline checks (q16).
+_PTS_GLOBAL = G.derived_points_global_sql("events", "event_id")
+_RHP_RES = 6
+_RHP_ORACLE = f"""
+WITH cells AS ({G.rhp_select_sql(_PTS_GLOBAL, "lat", "lon", _RHP_RES, ["point_id"])})
+SELECT point_id, cell, substring(cell, 1, 4) AS parent_cell FROM cells
+"""
+
+
+def _q_rhp_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from vector2dggs_spark.dggs import get_backend
+    from vector2dggs_spark.operators.udfs import point_to_cell_udf
+
+    load_views(spark, sf_dir)
+    pts = spark.sql(_PTS_GLOBAL)
+    enc = point_to_cell_udf(get_backend("rhp"), _RHP_RES)
+    return pts.select(
+        "point_id",
+        enc("lat", "lon").alias("cell"),
+    ).withColumn("parent_cell", F.substring("cell", 1, 4))
+
+
+Q30 = (_q_rhp_point, _RHP_ORACLE)
+
+
 def _q_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: tile media refs -> decode (stub, mapInPandas)
     -> frame features (one-to-many mapInPandas) -> exploded scalar
@@ -714,6 +747,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q26_embedding_near_dup_lsh": Q26,
     "q27_knn_haversine": Q27,
     "q29_ann_ivf_multiprobe": Q29,
+    "q30_point_index_rhp": Q30,
     "q28_compaction_oracle": (
         lambda spark, sf_dir: _q_polyfill(spark, sf_dir, big_deg=0.8, compact=True),
         _compaction_oracle_sql(),

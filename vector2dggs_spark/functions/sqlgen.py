@@ -188,6 +188,157 @@ def geohash_col(lat: str, lon: str, precision: int) -> Column:
     return F.expr(geohash_sql(lat, lon, precision))
 
 
+# ------------------------------------------------------------ rHP point encode
+def _rhp_point_layers(lat: str, lon: str, res: int) -> tuple[list[list[str]], str]:
+    """Layered select lists for the rHP point->cell encode + the final
+    cell expression.
+
+    Mirrors ``dggs.rhp.point_to_cell`` operation-for-operation — same
+    double literals (authalic series, π multiples), same wrap, same
+    sequential ×3 digit fold — so the only cross-formulation divergence
+    is ≤1-ulp libm ``sin``/``cos``, far below the distance of any
+    generic point to a cell boundary.
+
+    Layered (each expression references only COLUMNS of the previous
+    layer, never a same-layer alias) because lateral aliases are inlined
+    per-reference by both Spark and DuckDB, which makes the chained ×3
+    digit fold grow ~3× per level (measured: 148 s for 10 k rows in
+    DuckDB); the layered form keeps the expression tree linear (<0.1 s).
+    """
+    from vector2dggs_spark.dggs import rhp
+
+    PI = dlit(rhp._PI)
+    TWO_PI = dlit(2.0 * rhp._PI)
+    HPI = dlit(rhp._PI / 2.0)
+    QPI = dlit(rhp._PI / 4.0)
+    C38 = dlit(3.0 * rhp._PI / 8.0)
+    N34 = dlit(-3.0 * rhp._PI / 4.0)
+    RAD = dlit(rhp._PI / 180.0)
+    TT = dlit(2.0 / 3.0)
+    UMAX = dlit(1.0 - 1e-15)
+
+    layers: list[list[str]] = []
+    layers.append([f"(({lat}) * {RAD}) AS __phi", f"(({lon}) * {RAD}) AS __lm0"])
+    # wrap to [-pi, pi) (sign-safe floor form == np.mod(x+pi, 2pi)-pi);
+    # geodetic -> authalic latitude (Snyder series), clamped like the kernel
+    layers.append([
+        f"(__lm0 - {TWO_PI} * floor((__lm0 + {PI}) / {TWO_PI})) AS __lam",
+        f"least(greatest(__phi + {dlit(rhp._A2)} * sin(__phi * {dlit(2.0)})"
+        f" + {dlit(rhp._A4)} * sin(__phi * {dlit(4.0)})"
+        f" + {dlit(rhp._A6)} * sin(__phi * {dlit(6.0)}), -{HPI}), {HPI}) AS __ba",
+    ])
+    layers.append(["__lam", "sin(__ba) AS __sphi"])
+    layers.append([
+        "__lam",
+        "__sphi",
+        f"(CASE WHEN __sphi > {TT} THEN {dlit(1.0)}"
+        f" WHEN __sphi < -{TT} THEN {dlit(-1.0)} ELSE {dlit(0.0)} END) AS __sgn",
+    ])
+    # polar-cap branch (numpy project() masked path, replicated literally)
+    layers.append([
+        "__lam",
+        "__sphi",
+        "__sgn",
+        f"least(greatest(floor((__lam + {PI}) / {HPI}), 0), 3) AS __k",
+        f"sqrt({dlit(3.0)} * ({dlit(1.0)} - __sgn * __sphi)) AS __sig",
+    ])
+    layers.append([
+        "__lam",
+        "__sphi",
+        "__sgn",
+        f"((__lam - ({N34} + __k * {HPI})) * __sig) AS __rx",
+        f"(((-__sgn) * {QPI}) * __sig) AS __ry",
+        f"cos((__sgn * __k) * {HPI}) AS __cca",
+        f"sin((__sgn * __k) * {HPI}) AS __ssa",
+    ])
+    layers.append([
+        f"(CASE WHEN __sgn = {dlit(0.0)} THEN __lam"
+        f" ELSE {N34} + (__cca * __rx - __ssa * __ry) END) AS __x",
+        f"(CASE WHEN __sgn = {dlit(0.0)} THEN {C38} * __sphi"
+        f" ELSE __sgn * {HPI} + (__ssa * __rx + __cca * __ry) END) AS __y",
+    ])
+    # planar -> (face, u, v) from the face's top-left corner
+    layers.append([
+        "__x",
+        "__y",
+        f"(CASE WHEN __y > {QPI} THEN 0 WHEN __y < -{QPI} THEN 5"
+        f" ELSE 1 + cast(least(greatest(floor((__x + {PI}) / {HPI}), 0), 3) as int)"
+        " END) AS __face",
+    ])
+    layers.append([
+        "__x",
+        "__y",
+        "__face",
+        f"(CASE WHEN __face = 0 OR __face = 5 THEN -{PI}"
+        f" ELSE -{PI} + (__face - 1) * {HPI} END) AS __x0",
+        f"(CASE WHEN __face = 0 THEN {dlit(3.0 * rhp._PI / 4.0)}"
+        f" WHEN __face = 5 THEN -{QPI} ELSE {QPI} END) AS __yt",
+    ])
+    layers.append([
+        "__face",
+        f"least(greatest((__x - __x0) / {HPI}, {dlit(0.0)}), {UMAX}) AS __u",
+        f"least(greatest((__yt - __y) / {HPI}, {dlit(0.0)}), {UMAX}) AS __v",
+    ])
+    # sequential base-3 digit fold — EXACTLY the kernel's multiply/
+    # subtract order (u*3 rounds once per level; integer subtract exact)
+    carried: list[str] = ["__face"]
+    for i in range(1, res + 1):
+        layers.append(
+            list(carried) + [f"(__u * {dlit(3.0)}) AS __uu", f"(__v * {dlit(3.0)}) AS __vv"]
+        )
+        prev = list(carried)
+        carried.append(f"__cu{i}")
+        carried.append(f"__cv{i}")
+        layers.append(
+            prev
+            + [
+                f"least(greatest(cast(floor(__uu) as int), 0), 2) AS __cu{i}",
+                f"least(greatest(cast(floor(__vv) as int), 0), 2) AS __cv{i}",
+                "(__uu - least(greatest(cast(floor(__uu) as int), 0), 2)) AS __u",
+                "(__vv - least(greatest(cast(floor(__vv) as int), 0), 2)) AS __v",
+            ]
+        )
+    from vector2dggs_spark.dggs import rhp as _r
+
+    digits = [
+        f"substring('012345678', 3 * __cv{i} + __cu{i} + 1, 1)" for i in range(1, res + 1)
+    ]
+    cell = " || ".join([f"substring('{_r.FACES}', __face + 1, 1)"] + digits)
+    return layers, cell
+
+
+def rhp_select_sql(
+    source_sql: str,
+    lat: str,
+    lon: str,
+    res: int,
+    keep_cols: list[str],
+    out: str = "cell",
+) -> str:
+    """rHEALPix point→cell as layered nested-SELECT SQL (Spark *and*
+    DuckDB dialects).  Doubles as the independent DuckDB oracle for the
+    numpy kernel (driver correctness gate, q30) and a fully-native
+    WholeStageCodegen rHP point path in Spark SQL."""
+    keep = ", ".join(keep_cols)
+    kp = f"{keep}, " if keep_cols else ""
+    layers, cell = _rhp_point_layers(lat, lon, res)
+    q = source_sql
+    for lyr in layers:
+        q = f"SELECT {kp}{', '.join(lyr)} FROM ({q}) __l"
+    return f"SELECT {kp}{cell} AS {out} FROM ({q}) __r"
+
+
+def rhp_cells_df(df, lat: str, lon: str, res: int, keep_cols: list[str], out: str = "cell"):
+    """Native Spark rHP point encode over a DataFrame — zero Python in
+    the hot loop (the second backend, after geohash, whose point path is
+    pure JVM expression work).  ``lat``/``lon`` are SQL snippets over
+    ``df``'s columns."""
+    layers, cell = _rhp_point_layers(lat, lon, res)
+    for lyr in layers:
+        df = df.selectExpr(*keep_cols, *lyr)
+    return df.selectExpr(*keep_cols, f"{cell} AS {out}")
+
+
 # ------------------------------------------------------------ tile helpers
 def tile_ref_sql(z: int, x: str, y: str) -> str:
     """tile://z/x/y string from integer tile coords (both dialects)."""
@@ -214,6 +365,19 @@ def tile_center_lat_idx_sql(z: int, y: str) -> str:
 def derived_points_sql(table: str = "events", id_col: str = "event_id") -> str:
     lat = f"({dlit(-44.4)} + ({id_col} % 700) * {dlit(0.001)})"
     lon = f"({dlit(-176.6)} + (({id_col} * 7) % 400) * {dlit(0.001)})"
+    return (
+        f"SELECT {id_col} AS point_id, {lat} AS lat, {lon} AS lon FROM {table}"
+    )
+
+
+def derived_points_global_sql(table: str = "events", id_col: str = "event_id") -> str:
+    """Deterministic GLOBAL point spread (all six rHP faces, all four
+    polar-cap quadrants, both hemispheres) — exact double arithmetic.
+
+    Step sizes are generic decimals, so no point lands within ~1e-4° of
+    any face/cell boundary (cross-engine trig disagrees at ~1e-16)."""
+    lat = f"({dlit(-84.9)} + ({id_col} % 171) * {dlit(0.997)})"
+    lon = f"({dlit(-179.8)} + (({id_col} * 7) % 360) * {dlit(0.999)})"
     return (
         f"SELECT {id_col} AS point_id, {lat} AS lat, {lon} AS lon FROM {table}"
     )

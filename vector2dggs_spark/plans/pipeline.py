@@ -105,13 +105,14 @@ def index(
     geoms = extract_geometries(docs)
 
     native_points = None
-    if backend.name == "geohash" and source_crs in (None, 4326, "EPSG:4326"):
+    if backend.name in ("geohash", "rhp") and source_crs in (None, 4326, "EPSG:4326"):
         # POINT spans (the dominant class at web scale) never leave the
-        # JVM: regexp parse + bit-arithmetic geohash encode, pure
-        # WholeStageCodegen (functions/sqlgen.py).  Non-point spans take
+        # JVM: regexp parse + native cell encode, pure WholeStageCodegen
+        # (functions/sqlgen.py — bit-arithmetic for geohash, layered
+        # HEALPix projection + digit fold for rHP).  Non-point spans take
         # the Arrow-UDF path below; the two branches partition the rows,
         # so no work is duplicated.
-        from vector2dggs_spark.functions.sqlgen import geohash_col
+        from vector2dggs_spark.functions.sqlgen import geohash_col, rhp_cells_df
         from vector2dggs_spark.operators.prepare import _POINT_RE
 
         pat = _POINT_RE.strip("^$")
@@ -125,11 +126,19 @@ def index(
                 F.regexp_extract("wkt", pat, 2).cast("double").alias("lat"),
             )
         )
-        native_points = pts.select(
+        if backend.name == "geohash":
+            encoded = pts.select(
+                "doc_id", "span_idx", geohash_col("lat", "lon", resolution).alias("cell")
+            )
+        else:
+            encoded = rhp_cells_df(
+                pts, "lat", "lon", resolution, ["doc_id", "span_idx"], out="cell"
+            )
+        native_points = encoded.select(
             "doc_id",
             F.concat_ws("#", "doc_id", F.col("span_idx").cast("string"), F.lit("0"), F.lit("0")).alias("part_uid"),
             F.lit("Point").alias("geom_type"),
-            geohash_col("lat", "lon", resolution).alias("cell"),
+            "cell",
         )
         geoms = geoms.where(~F.coalesce(F.col("wkt").rlike(_POINT_RE), F.lit(False)))
 
