@@ -81,6 +81,17 @@ def run_bench(spark, sf_dir: str) -> dict:
         ).agg(F.sum("n")).collect()[0][0],
     )
 
+    # 1b. native rHP point index at res 9 (round 3: the second backend
+    # whose point path is pure JVM — layered HEALPix projection SQL)
+    rhp9 = G.rhp_select_sql(PTS, "lat", "lon", 9, ["point_id"], out="cell")
+    timed(
+        "point_index_rhp_native_r9",
+        lambda: spark.sql(
+            f"SELECT substring(cell, 1, 4) AS parent, count(*) AS n FROM "
+            f"({rhp9}) __c GROUP BY 1"
+        ).agg(F.sum("n")).collect()[0][0],
+    )
+
     # 2. full interleaved-documents pipeline (polygons + lines + points).
     # Timed runs build FRESH plans before any cache exists (Spark's cache
     # manager matches canonicalized plans, so timing a cached DataFrame

@@ -27,6 +27,10 @@ N_POINTS = int(os.environ.get("SCALING_POINTS", "2000000000"))
 # round 2: the pipeline got ~5x faster, so the 4M-doc job finishes in ~3s
 # at 32 cores and fixed costs dominate the ratio; 64M keeps it CPU-bound
 N_DOCS = int(os.environ.get("SCALING_DOCS", "64000000"))
+# dedup family (round 3): corpora sized so the 32-core run stays in the
+# several-second CPU-bound regime
+N_TEXT = int(os.environ.get("SCALING_TEXT_DOCS", "600000"))
+N_VECS = int(os.environ.get("SCALING_VECS", "1000000"))
 
 WORKER = r"""
 import json, os, sys, time
@@ -68,9 +72,67 @@ def median_of(fn, reps):
     print("runs", [round(t, 2) for t in ts], file=sys.stderr)
     return sorted(ts)[len(ts) // 2]
 
+def job_c(n):
+    # MinHash-LSH near-dup (the q12 plan, unchanged) over a synthetic
+    # text corpus with planted duplicate clusters: docs whose id ends in
+    # 999 share their text with the preceding id, everything else unique.
+    # All-native: word synthesis, shingle md5, 16-perm fold, band
+    # equi-join — the exploded-band candidate join IS the scale shape
+    # shared by q12/q19/q26.
+    from vector2dggs_spark.entrypoints import _minhash_sql
+    docs_path = f"/tmp/v2dggs_scaling/text_{n}.parquet"
+    if not os.path.exists(docs_path + "/_SUCCESS"):
+        base = "CASE WHEN id % 1000 = 999 THEN id - 1 ELSE id END"
+        words = ("concat_ws(' ', transform(sequence(0, 19), i -> "
+                 f"concat('w', pmod(({base}) * 2654435761 + i * 40503 "
+                 "+ pmod(i * (" + base + "), 97), 5000))))")
+        spark.range(n).selectExpr("cast(id as string) AS doc_id", f"{words} AS text") \
+            .repartition(64).write.mode("overwrite").parquet(docs_path)
+    spark.read.parquet(docs_path).createOrReplaceTempView("documents")
+    return spark.sql(_minhash_sql("spark")).count()
+
+def job_d(n):
+    # hyperplane-banded embedding near-dup over synthetic 64-dim
+    # vectors; ids ending in 99 repeat the previous vector with a small
+    # deterministic perturbation.  Runs the q32 ARROW operator
+    # (operators/embeddings.py): the pure-SQL q26 formulation's
+    # interpreted higher-order folds were measured at 0.33 normalized
+    # scaling efficiency (allocation/GC-bound at local[32]) — the numpy
+    # matmul path is the production config.  SCALE CONFIG: 8 bands x 24
+    # bits — the fixture's 16x4-bit banding collapses to 2^4=16 buckets
+    # and the candidate join degenerates to O(n^2/16) past a few
+    # thousand vectors (measured: >500 s at 24 k); 24-bit bands keep
+    # random-pair collisions ~8n^2/2^25 (the standard practice: size
+    # bands so candidates ~ true dups) while planted near-dups
+    # (cos≈0.999, per-bit p≈0.97) retain recall 1-(1-p^24)^8 ≈ 0.995.
+    from vector2dggs_spark.functions.textops import EMB_DIM
+    from vector2dggs_spark.operators.embeddings import near_dup_lsh
+    vec_path = f"/tmp/v2dggs_scaling/vecs_{n}.parquet"
+    if not os.path.exists(vec_path + "/_SUCCESS"):
+        base = "CASE WHEN id % 100 = 99 THEN id - 1 ELSE id END"
+        noise = "CASE WHEN id % 100 = 99 THEN cast(0.05 as double) ELSE cast(0.0 as double) END"
+        # xxhash64-based components: properly decorrelated (the earlier
+        # sin-hash corpus was heavily self-correlated — 6% of candidate
+        # pairs passed cos>=0.38, nothing like a real embedding corpus)
+        comp = (f"cast(pmod(xxhash64(({base}) * {EMB_DIM} + j), 20000) as double)"
+                f" / 10000.0 - 1.0"
+                f" + {noise} * sin(cast(id * 7 + j as double))")
+        vecs = f"transform(sequence(0, {EMB_DIM - 1}), j -> cast({comp} as float))"
+        spark.range(n).selectExpr("cast(id as string) AS vec_id", f"{vecs} AS embedding") \
+            .repartition(64).write.mode("overwrite").parquet(vec_path)
+    return near_dup_lsh(spark.read.parquet(vec_path), bands=8, bits=24).count()
+
 if job == "A":
     t = median_of(lambda: job_a(n_points), 3)
     print("RESULT" + json.dumps({"cpus": cpus, "job": "A", "t": t, "rows": n_points}))
+elif job == "C":
+    n = int(os.environ.get("SCALING_TEXT_DOCS", "600000"))
+    t = median_of(lambda: job_c(n), 3)
+    print("RESULT" + json.dumps({"cpus": cpus, "job": "C", "t": t, "rows": n}))
+elif job == "D":
+    n = int(os.environ.get("SCALING_VECS", "1000000"))
+    t = median_of(lambda: job_d(n), 3)
+    print("RESULT" + json.dumps({"cpus": cpus, "job": "D", "t": t, "rows": n}))
 else:
     # job B input: identical parquet for every parallelism level
     docs_path = f"/tmp/v2dggs_scaling/docs_native_{n_docs}.parquet"
@@ -133,20 +195,35 @@ def machine_ceiling() -> float:
     return measure(32) / measure(8)
 
 
+JOB_ROWS = {"A": N_POINTS, "B": N_DOCS, "C": N_TEXT, "D": N_VECS}
+JOB_DESC = {
+    "A": f"A. native point index (geohash r9, {N_POINTS:,} pts, WholeStageCodegen)",
+    "B": f"B. point-documents pipeline ({N_DOCS:,} interleaved docs, r9, Arrow-UDF path)",
+    "C": f"C. MinHash-LSH near-dup (q12 plan, {N_TEXT:,} synthetic text docs, native SQL)",
+    "D": f"D. hyperplane-LSH embedding near-dup (q32 Arrow path, {N_VECS:,} 64-dim vectors, 8x24-bit bands)",
+}
+JOB_UNIT = {"A": "pts/s", "B": "cells/s", "C": "docs/s", "D": "vecs/s"}
+
+
 def main():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jobs = (sys.argv[1].split(",") if len(sys.argv) > 1
+            else ["A", "B", "C", "D"])
     ceiling = machine_ceiling()
     results = {}
     for c in (8, 32):
-        results[c] = {"cpus": c,
-                      "tA": run(c, "A")["t"], "points": N_POINTS,
-                      "tB": run(c, "B")["t"], "cells": N_DOCS}
-    thrA = {c: r["points"] / r["tA"] for c, r in results.items()}
-    thrB = {c: r["cells"] / r["tB"] for c, r in results.items()}
-    effA = (thrA[32] / thrA[8]) / 4.0
-    effB = (thrB[32] / thrB[8]) / 4.0
-    normA = (thrA[32] / thrA[8]) / ceiling
-    normB = (thrB[32] / thrB[8]) / ceiling
+        results[c] = {"cpus": c}
+        for j in jobs:
+            results[c][f"t{j}"] = run(c, j)["t"]
+    thr = {j: {c: JOB_ROWS[j] / results[c][f"t{j}"] for c in (8, 32)} for j in jobs}
+    eff = {j: (thr[j][32] / thr[j][8]) / 4.0 for j in jobs}
+    norm = {j: (thr[j][32] / thr[j][8]) / ceiling for j in jobs}
+    rows = "\n".join(
+        f"| {JOB_DESC[j]} | {thr[j][8]:,.0f} {JOB_UNIT[j]} ({results[8][f't{j}']:.2f}s) "
+        f"| {thr[j][32]:,.0f} {JOB_UNIT[j]} ({results[32][f't{j}']:.2f}s) "
+        f"| {thr[j][32]/thr[j][8]:.2f}x | {eff[j]:.2f} | **{norm[j]:.2f}** |"
+        for j in jobs
+    )
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
     md = f"""# BENCH/BASELINE — scaling efficiency (local[8] vs local[32])
 
@@ -165,8 +242,7 @@ the north rule's >= 0.8 on a constant-clock cluster.
 
 | job | local[8] | local[32] | speedup | raw eff (/4) | norm. eff (/{ceiling:.2f}) |
 |---|---|---|---|---|---|
-| A. native point index (geohash r9, {N_POINTS:,} pts, WholeStageCodegen) | {thrA[8]:,.0f} pts/s ({results[8]['tA']:.2f}s) | {thrA[32]:,.0f} pts/s ({results[32]['tA']:.2f}s) | {thrA[32]/thrA[8]:.2f}x | {effA:.2f} | **{normA:.2f}** |
-| B. point-documents pipeline ({N_DOCS:,} interleaved docs, r9, Arrow-UDF path) | {thrB[8]:,.0f} cells/s ({results[8]['tB']:.2f}s) | {thrB[32]:,.0f} cells/s ({results[32]['tB']:.2f}s) | {thrB[32]/thrB[8]:.2f}x | {effB:.2f} | **{normB:.2f}** |
+{rows}
 
 Raw: {json.dumps(results)}
 
@@ -177,14 +253,17 @@ Notes
 - Job B covers the full engine dataflow (span explode -> prepare
   mapInPandas with vectorized POINT fast path -> index mapInPandas ->
   native parent -> single-pass dedup).
+- Jobs C/D are the LLM-dedup family at scale shape: per-row signature
+  work (shingle md5 + 16-perm fold / 64 hyperplane folds) + the
+  exploded-band (band_idx, band_val) EQUI-join for candidates — the
+  same plan q12/q19/q26 run; corpora carry planted duplicate clusters.
 - local[N] shares one JVM, page cache and memory bus, so this is a
   conservative proxy for multi-executor scale-out.
 """
     with open(os.path.join(repo, "BENCH", "BASELINE_generated.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"effA": effA, "effB": effB, "normA": normA,
-                      "normB": normB, "ceiling": ceiling,
-                      "thrA": thrA, "thrB": thrB}))
+    print(json.dumps({"eff": eff, "norm": norm, "ceiling": ceiling,
+                      "thr": thr}))
 
 
 if __name__ == "__main__":

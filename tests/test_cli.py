@@ -102,3 +102,54 @@ def test_cli_error_paths(spark, docs_parquet, tmp_path):
         main(["geohash", docs_parquet, str(tmp_path / "x"), "-r", "3", "-pr", "3"], spark=spark)
     with pytest.raises(SystemExit):
         main(["nope", docs_parquet, str(tmp_path / "y"), "-r", "3"], spark=spark)
+
+
+def test_spark_submit_pyfiles_deploy(spark, docs_parquet, tmp_path):
+    """North-rule deploy path, end to end: package the engine with
+    scripts/make_pyfiles.py, then run a REAL ``spark-submit --py-files
+    vector2dggs_spark.zip submit.py ...`` from a directory that does NOT
+    contain the repo (the zip must supply every module), and check the
+    partitioned output.  Also pins that get_spark() respects the
+    submitted master instead of overriding it with local[N] (a
+    hard-coded .master() would silently demote a YARN/k8s submission)."""
+    import shutil
+    import subprocess
+    import sys
+
+    from scripts.make_pyfiles import build
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    dist = tmp_path / "dist"
+    build(dist)
+    out = str(tmp_path / "cells")
+    env = dict(
+        os.environ,
+        PYSPARK_PYTHON=sys.executable,
+        PYSPARK_DRIVER_PYTHON=sys.executable,
+    )
+    env.pop("PYTHONPATH", None)  # the zip must be the only source
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(dist / "vector2dggs_spark.zip"),
+            str(dist / "submit.py"),
+            "geohash", docs_parquet, out, "-r", "5", "-pr", "3", "-o",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        env=env,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert any(d.startswith("geohash_03=") for d in os.listdir(out))
+    with open(os.path.join(out, "_LINEAGE.json")) as f:
+        lineage = json.load(f)
+    assert lineage["total_rows"] > 0
+    # the submitted master must win over the library default
+    assert lineage["config"]["master"] == "local[2]"

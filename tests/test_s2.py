@@ -168,3 +168,30 @@ def test_backend_pipeline_e2e(spark):
     for row in rows[:50]:
         assert b.get_resolution(row["s2_13"]) == 13
         assert row["s2_07"] == str(b.parent([row["s2_13"]], 7)[0])
+
+
+def test_sql_formulation_matches_numpy_kernel(spark):
+    """The independently-formulated Spark-SQL S2 encode (sqlgen.
+    s2_select_sql — also the q31 DuckDB oracle) must agree with the
+    numpy kernel token-for-token on a global grid, at coarse, the
+    pipeline's, and leaf levels."""
+    import numpy as np
+
+    from vector2dggs_spark.dggs import s2
+    from vector2dggs_spark.functions.sqlgen import s2_select_sql
+
+    lats = np.arange(-86.9, 87.0, 4.1)
+    lons = np.arange(-178.7, 180.0, 6.1)
+    glat, glon = np.meshgrid(lats, lons, indexing="ij")
+    glat, glon = glat.ravel(), glon.ravel()
+    df = spark.createDataFrame(
+        [(int(i), float(la), float(lo)) for i, (la, lo) in enumerate(zip(glat, glon))],
+        "id long, la double, lo double",
+    )
+    df.createOrReplaceTempView("__s2pts")
+    for level in (2, 13, 30):
+        expected = s2.to_token(s2.latlng_to_cell(glat, glon, level))
+        sql = s2_select_sql("SELECT id, la, lo FROM __s2pts", "la", "lo", level, ["id"], dialect="spark")
+        got = {r["id"]: r["cell"] for r in spark.sql(sql).collect()}
+        mismatch = [i for i in range(len(expected)) if got[i] != expected[i]]
+        assert not mismatch, f"level {level}: {mismatch[:5]}"

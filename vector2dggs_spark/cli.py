@@ -2,7 +2,7 @@
 (``vector2dggs {h3|rhp|geohash} INPUT OUTPUT -r R [-pr P] [-co] [--geo ...]``,
 ``/root/reference/vector2dggs/cli_factory.py:26-150``) for spark-submit:
 
-    spark-submit --py-files vector2dggs_spark.zip -m vector2dggs_spark \
+    spark-submit --master <cluster> --py-files vector2dggs_spark.zip submit.py \
         h3 /path/documents.parquet /path/out -r 9 -pr 3 --geo point
 
 INPUT is a parquet (or directory of parquet) documents table with the
@@ -139,6 +139,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "dggs": args.dggs, "resolution": args.resolution,
                 "parent_res": result.parent_res, "compact": args.compact,
                 "geo": args.geo, "input": args.vector_input,
+                # deployment provenance: on a cluster submit this records
+                # yarn/k8s, proving the library didn't demote the master
+                "master": spark.sparkContext.master,
             },
         )
         return 0

@@ -614,6 +614,23 @@ Q26 = _dialects(
 )
 
 
+def _q_near_dup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q26's semantics on the PRODUCTION Arrow path: one numpy matmul
+    per batch for the 64 plane dots (Catalyst higher-order folds are
+    interpreted per element and stop scaling at high core counts —
+    measured 0.33 normalized efficiency at local[32], BENCH/BASELINE.md
+    job D), band equi-join + vectorized cosine refilter.  Shares q26's
+    DuckDB oracle, so the Arrow operator is held to the same hash-exact
+    bar as the SQL formulation."""
+    from vector2dggs_spark.operators.embeddings import near_dup_lsh
+
+    load_views(spark, sf_dir)
+    return near_dup_lsh(spark.table("embeddings"))
+
+
+Q32 = (_q_near_dup_arrow, X.embedding_near_dup_lsh_sql("duckdb"))
+
+
 def _q_s2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector2dggs_spark import index
     from vector2dggs_spark.sources.documents import documents_df
@@ -665,6 +682,31 @@ def _q_rhp_point(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q30 = (_q_rhp_point, _RHP_ORACLE)
+
+# ---------------------------------------------------------------- S2 point index
+# Same pattern for S2 (VERDICT r02 residual #1: S2 needed a hard
+# independent signal): Spark runs the production numpy kernel; DuckDB
+# evaluates an independently-formulated SQL version of the published S2
+# construction (cube face -> quadratic ST -> 30-level Hilbert lookup ->
+# parent bit math -> token).  Level 13 matches the q23 pipeline.
+_S2_LEVEL = 13
+_S2_ORACLE = f"""
+WITH cells AS ({G.s2_select_sql(_PTS_GLOBAL, "lat", "lon", _S2_LEVEL, ["point_id"], dialect="duckdb")})
+SELECT point_id, cell FROM cells
+"""
+
+
+def _q_s2_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector2dggs_spark.dggs import get_backend
+    from vector2dggs_spark.operators.udfs import point_to_cell_udf
+
+    load_views(spark, sf_dir)
+    pts = spark.sql(_PTS_GLOBAL)
+    enc = point_to_cell_udf(get_backend("s2"), _S2_LEVEL)
+    return pts.select("point_id", enc("lat", "lon").alias("cell"))
+
+
+Q31 = (_q_s2_point, _S2_ORACLE)
 
 
 def _q_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -748,6 +790,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q27_knn_haversine": Q27,
     "q29_ann_ivf_multiprobe": Q29,
     "q30_point_index_rhp": Q30,
+    "q31_point_index_s2": Q31,
+    "q32_embedding_near_dup_arrow": Q32,
     "q28_compaction_oracle": (
         lambda spark, sf_dir: _q_polyfill(spark, sf_dir, big_deg=0.8, compact=True),
         _compaction_oracle_sql(),

@@ -339,6 +339,131 @@ def rhp_cells_df(df, lat: str, lon: str, res: int, keep_cols: list[str], out: st
     return df.selectExpr(*keep_cols, f"{cell} AS {out}")
 
 
+# ------------------------------------------------------------ S2 point encode
+def s2_select_sql(
+    source_sql: str,
+    lat: str,
+    lon: str,
+    level: int,
+    keep_cols: list[str],
+    dialect: str = "spark",
+    out: str = "cell",
+) -> str:
+    """S2 point->cell-token as layered nested-SELECT SQL (Spark or DuckDB
+    dialect — they differ only in the hex-literal parse).
+
+    An INDEPENDENT formulation of the published S2 construction
+    (cube-face selection, quadratic UV<->ST, 30-level Hilbert position
+    via the canonical 4-bit lookup, ``face(3)|pos(2*level)|sentinel`` id,
+    hex token with trailing zeros stripped) mirroring
+    ``dggs.s2.latlng_to_cell`` operation-for-operation.  Used as the
+    DuckDB oracle for the numpy kernel (q31) — the only cross-engine
+    divergence is <=1-ulp libm trig, far below any generic point's
+    distance to a cell boundary.
+
+    The Hilbert nibble lookup (1024 x 10-bit values) is encoded as a
+    3072-char hex string indexed by ``(i4<<4 | j4)<<2 | bits``; signed
+    BIGINT stands in for uint64 (faces 4/5 set the sign bit; nibble
+    extraction masks after the arithmetic shift, id assembly uses
+    (face-8)*2^61 to stay in signed range — Spark ANSI mode and DuckDB
+    both reject << overflow).
+    """
+    from vector2dggs_spark.dggs import s2 as S
+
+    if dialect == "spark":
+        def hx(expr3: str) -> str:
+            return f"cast(conv({expr3}, 16, 10) as bigint)"
+    else:
+        def hx(expr3: str) -> str:
+            return f"(('0x' || {expr3})::BIGINT)"
+
+    lookup_hex = "".join(format(int(v), "03x") for v in S._LOOKUP_POS)
+    RAD = dlit(3.141592653589793 / 180.0)
+    MAXN = 1 << 30
+
+    keep = ", ".join(keep_cols)
+    kp = f"{keep}, " if keep_cols else ""
+    layers: list[list[str]] = []
+    layers.append([f"(({lat}) * {RAD}) AS __phi", f"(({lon}) * {RAD}) AS __lmb"])
+    layers.append([
+        "(cos(__phi) * cos(__lmb)) AS __cx",
+        "(cos(__phi) * sin(__lmb)) AS __cy",
+        "sin(__phi) AS __cz",
+    ])
+    # largest-|axis| face selection, exactly the kernel's nested wheres
+    layers.append([
+        "__cx", "__cy", "__cz",
+        "(CASE WHEN abs(__cx) >= abs(__cy) THEN"
+        " (CASE WHEN abs(__cx) >= abs(__cz) THEN 0 ELSE 2 END)"
+        " ELSE (CASE WHEN abs(__cy) >= abs(__cz) THEN 1 ELSE 2 END) END) AS __f0",
+    ])
+    layers.append([
+        "__cx", "__cy", "__cz", "__f0",
+        "(CASE __f0 WHEN 0 THEN __cx WHEN 1 THEN __cy ELSE __cz END) AS __mj",
+    ])
+    layers.append([
+        "__cx", "__cy", "__cz",
+        "(CASE WHEN __mj < cast(0.0 as double) THEN __f0 + 3 ELSE __f0 END) AS __face",
+    ])
+    # canonical face frames (u, v)
+    layers.append([
+        "__face",
+        "(CASE __face"
+        " WHEN 0 THEN __cy / __cx WHEN 1 THEN -__cx / __cy WHEN 2 THEN -__cx / __cz"
+        " WHEN 3 THEN __cz / __cx WHEN 4 THEN __cz / __cy ELSE -__cy / __cz END) AS __u",
+        "(CASE __face"
+        " WHEN 0 THEN __cz / __cx WHEN 1 THEN __cz / __cy WHEN 2 THEN -__cy / __cz"
+        " WHEN 3 THEN __cy / __cx WHEN 4 THEN -__cx / __cy ELSE -__cx / __cz END) AS __v",
+    ])
+    # quadratic UV -> ST
+    half, one, three = dlit(0.5), dlit(1.0), dlit(3.0)
+    layers.append([
+        "__face",
+        f"(CASE WHEN __u >= cast(0.0 as double) THEN {half} * sqrt({one} + {three} * __u)"
+        f" ELSE {one} - {half} * sqrt({one} - {three} * __u) END) AS __s",
+        f"(CASE WHEN __v >= cast(0.0 as double) THEN {half} * sqrt({one} + {three} * __v)"
+        f" ELSE {one} - {half} * sqrt({one} - {three} * __v) END) AS __t",
+    ])
+    layers.append([
+        "__face",
+        f"least(greatest(cast(floor(__s * {dlit(float(MAXN))}) as bigint), 0), {MAXN - 1}) AS __i",
+        f"least(greatest(cast(floor(__t * {dlit(float(MAXN))}) as bigint), 0), {MAXN - 1}) AS __j",
+    ])
+    layers.append(["__face", "__i", "__j", "cast(0 as bigint) AS __pos",
+                   "cast(__face & 1 as bigint) AS __bits"])
+    # 8 nibble steps of the Hilbert lookup, most-significant first
+    for k in range(7, -1, -1):
+        sh = 4 * k
+        key = (f"((((__i >> {sh}) & 15) * 64) + (((__j >> {sh}) & 15) * 4) + __bits)"
+               if sh else "(((__i & 15) * 64) + ((__j & 15) * 4) + __bits)")
+        layers.append(["__face", "__i", "__j", "__pos", "__bits", f"{key} AS __key"])
+        o = hx(f"substring('{lookup_hex}', __key * 3 + 1, 3)")
+        layers.append([
+            "__face", "__i", "__j",
+            f"(__pos + ((({o}) >> 2) * {1 << (8 * k)})) AS __pos",
+            f"(({o}) & 3) AS __bits",
+        ])
+    # leaf id -> parent at `level` (signed-bigint id assembly)
+    lsb = 1 << (2 * (30 - level))
+    layers.append([
+        "((CASE WHEN __face >= 4 THEN __face - 8 ELSE __face END)"
+        f" * {1 << 61} + __pos * 2 + 1) AS __leaf",
+    ])
+    layers.append([f"((__leaf & {-(2 * lsb)}) + {lsb}) AS __id"] if level < 30
+                  else ["__leaf AS __id"])
+    nibbles = " || ".join(
+        f"substring('0123456789abcdef', cast((__id >> {4 * k}) & 15 as int) + 1, 1)"
+        for k in range(15, -1, -1)
+    )
+    q = source_sql
+    for lyr in layers:
+        q = f"SELECT {kp}{', '.join(lyr)} FROM ({q}) __l"
+    return (
+        f"SELECT {kp}regexp_replace({nibbles}, '0+$', '') AS {out} "
+        f"FROM ({q}) __r"
+    )
+
+
 # ------------------------------------------------------------ tile helpers
 def tile_ref_sql(z: int, x: str, y: str) -> str:
     """tile://z/x/y string from integer tile coords (both dialects)."""
