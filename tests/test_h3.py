@@ -253,3 +253,40 @@ def test_pentagon_compact():
         v = _pentagon_res0(bc)
         kids = H.cell_to_children(v, 2)
         assert H.compact_cells(kids) == {v}
+
+
+def test_sql_formulation_matches_numpy_kernel(spark):
+    """The layered Spark-SQL H3 encode (functions/h3sql.py — the native
+    pipeline point path AND the q33 DuckDB oracle formulation) must
+    agree with the numpy kernel token-for-token on a global grid
+    (~10% of points land in pentagon base cells, so the K-sector fix
+    path is exercised), at odd and even resolutions."""
+    import numpy as np
+
+    from vector2dggs_spark.dggs import h3core as H
+    from vector2dggs_spark.functions.h3sql import h3_cells_df
+
+    lats = np.arange(-86.9, 87.0, 4.3)
+    lons = np.arange(-178.7, 180.0, 6.7)
+    glat, glon = np.meshgrid(lats, lons, indexing="ij")
+    glat, glon = glat.ravel(), glon.ravel()
+    df = spark.createDataFrame(
+        [(int(i), float(la), float(lo)) for i, (la, lo) in enumerate(zip(glat, glon))],
+        "id long, la double, lo double",
+    )
+    for res in (2, 9, 13):
+        expected = H.to_token(H.latlng_to_cell(glat, glon, res))
+        got = {r["id"]: r["cell"] for r in h3_cells_df(df, "la", "lo", res, ["id"]).collect()}
+        mismatch = [(i, expected[i], got[i]) for i in range(len(expected)) if got[i] != expected[i]]
+        assert not mismatch, f"res {res}: {mismatch[:5]}"
+
+
+def test_sql_encode_is_wholestage_codegen(spark):
+    from vector2dggs_spark.functions.h3sql import h3_cells_df
+
+    df = spark.range(10).selectExpr(
+        "id", "cast(id as double) / 10.0 AS la", "cast(id as double) AS lo"
+    )
+    plan = h3_cells_df(df, "la", "lo", 9, ["id"])._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "*(1) Project" in plan

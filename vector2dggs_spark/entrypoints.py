@@ -708,6 +708,37 @@ def _q_s2_point(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q31 = (_q_s2_point, _S2_ORACLE)
 
+# ---------------------------------------------------------------- H3 point index
+# The headline backend (BASELINE metric: "H3 cell-IDs emitted/sec at
+# resolution 9") gets the same treatment: Spark runs the production
+# numpy kernel; DuckDB evaluates an independently-formulated layered SQL
+# version of the full H3 construction (face argmax, gnomonic hex2d,
+# cube rounding, aperture-7 digit walk, base-cell/rotation lookups,
+# pentagon K-sector fix) — functions/h3sql.py.
+_H3_RES = 9
+
+
+def _h3_oracle() -> str:
+    from vector2dggs_spark.functions.h3sql import h3_select_sql
+
+    return f"""
+WITH cells AS ({h3_select_sql(_PTS_GLOBAL, "lat", "lon", _H3_RES, ["point_id"], dialect="duckdb")})
+SELECT point_id, cell FROM cells
+"""
+
+
+def _q_h3_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector2dggs_spark.dggs import get_backend
+    from vector2dggs_spark.operators.udfs import point_to_cell_udf
+
+    load_views(spark, sf_dir)
+    pts = spark.sql(_PTS_GLOBAL)
+    enc = point_to_cell_udf(get_backend("h3"), _H3_RES)
+    return pts.select("point_id", enc("lat", "lon").alias("cell"))
+
+
+Q33 = (_q_h3_point, _h3_oracle())
+
 
 def _q_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: tile media refs -> decode (stub, mapInPandas)
@@ -792,6 +823,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q30_point_index_rhp": Q30,
     "q31_point_index_s2": Q31,
     "q32_embedding_near_dup_arrow": Q32,
+    "q33_point_index_h3": Q33,
     "q28_compaction_oracle": (
         lambda spark, sf_dir: _q_polyfill(spark, sf_dir, big_deg=0.8, compact=True),
         _compaction_oracle_sql(),

@@ -107,11 +107,18 @@ def index(
     native_points = None
     if backend.name in ("geohash", "rhp") and source_crs in (None, 4326, "EPSG:4326"):
         # POINT spans (the dominant class at web scale) never leave the
-        # JVM: regexp parse + native cell encode, pure WholeStageCodegen
-        # (functions/sqlgen.py — bit-arithmetic for geohash, layered
-        # HEALPix projection + digit fold for rHP).  Non-point spans take
-        # the Arrow-UDF path below; the two branches partition the rows,
-        # so no work is duplicated.
+        # JVM for geohash/rhp: regexp parse + native cell encode, pure
+        # WholeStageCodegen (bit-arithmetic for geohash, layered HEALPix
+        # projection for rHP — functions/sqlgen.py).  H3 deliberately
+        # stays on the Arrow numpy path: its layered-SQL formulation
+        # (functions/h3sql.py, kept as the q33 oracle) measured 5x
+        # SLOWER than the vectorized kernel — the ~39-layer branchy
+        # pipeline defeats JVM codegen (fused: the single generated
+        # method blows past HotSpot's huge-method JIT limit, ~30 s/10M;
+        # un-fused: 91->39 UnsafeRow materializations still 9 s/10M)
+        # while numpy runs the same math at 5.9M pts/s (1.7 s/10M).
+        # Non-point spans take the Arrow-UDF path below; the two
+        # branches partition the rows, so no work is duplicated.
         from vector2dggs_spark.functions.sqlgen import geohash_col, rhp_cells_df
         from vector2dggs_spark.operators.prepare import _POINT_RE
 
