@@ -116,3 +116,29 @@ def test_backend_compaction_kit(spark):
     assert b.compact(kids) == {cell}
     assert b.designated_child(cell, 11) == b.children_at_res(cell, 11)[0]
     assert b.get_resolution(cell) == 9
+
+
+def test_sql_formulation_matches_numpy_kernel(spark):
+    """The layered Spark-SQL A5 encode (functions/a5sql.py — the q34
+    DuckDB oracle formulation) must agree with the numpy kernel
+    token-for-token on a global grid covering all 12 faces."""
+    import numpy as np
+
+    from vector2dggs_spark.dggs import a5 as A
+    from vector2dggs_spark.functions.a5sql import a5_select_sql
+
+    lats = np.arange(-86.9, 87.0, 4.3)
+    lons = np.arange(-178.7, 180.0, 6.7)
+    glat, glon = np.meshgrid(lats, lons, indexing="ij")
+    glat, glon = glat.ravel(), glon.ravel()
+    df = spark.createDataFrame(
+        [(int(i), float(la), float(lo)) for i, (la, lo) in enumerate(zip(glat, glon))],
+        "id long, la double, lo double",
+    )
+    df.createOrReplaceTempView("__a5pts")
+    for res in (2, 14):
+        expected = A.to_token(A.lonlat_to_cell(glat, glon, res))
+        sql = a5_select_sql("SELECT id, la, lo FROM __a5pts", "la", "lo", res, ["id"])
+        got = {r["id"]: r["cell"] for r in spark.sql(sql).collect()}
+        mismatch = [i for i in range(len(expected)) if got[i] != expected[i]]
+        assert not mismatch, f"res {res}: {mismatch[:5]}"

@@ -739,6 +739,36 @@ def _q_h3_point(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q33 = (_q_h3_point, _h3_oracle())
 
+# ---------------------------------------------------------------- A5 point index
+# Last backend to get the treatment — every backend's point path now
+# has an independent cross-formulation SQL oracle.  Res 14 matches the
+# q24 pipeline.  (A5's construction is this repo's own documented
+# layout — the oracle guards the kernel against implementation bugs,
+# like q31's role for S2.)
+_A5_RES = 14
+
+
+def _a5_oracle() -> str:
+    from vector2dggs_spark.functions.a5sql import a5_select_sql
+
+    return f"""
+WITH cells AS ({a5_select_sql(_PTS_GLOBAL, "lat", "lon", _A5_RES, ["point_id"])})
+SELECT point_id, cell FROM cells
+"""
+
+
+def _q_a5_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector2dggs_spark.dggs import get_backend
+    from vector2dggs_spark.operators.udfs import point_to_cell_udf
+
+    load_views(spark, sf_dir)
+    pts = spark.sql(_PTS_GLOBAL)
+    enc = point_to_cell_udf(get_backend("a5"), _A5_RES)
+    return pts.select("point_id", enc("lat", "lon").alias("cell"))
+
+
+Q34 = (_q_a5_point, _a5_oracle())
+
 
 def _q_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: tile media refs -> decode (stub, mapInPandas)
@@ -824,6 +854,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q31_point_index_s2": Q31,
     "q32_embedding_near_dup_arrow": Q32,
     "q33_point_index_h3": Q33,
+    "q34_point_index_a5": Q34,
     "q28_compaction_oracle": (
         lambda spark, sf_dir: _q_polyfill(spark, sf_dir, big_deg=0.8, compact=True),
         _compaction_oracle_sql(),
