@@ -770,6 +770,95 @@ def _q_a5_point(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q34 = (_q_a5_point, _a5_oracle())
 
 
+# ------------------------------------------------- points pipelines (all backends)
+# End-to-end pipeline oracles for the four backends whose polyfill
+# pipelines are rows-only (q16/q18/q23/q24): a points-only corpus flows
+# through the REAL pipeline (span extraction -> native or Arrow point
+# encode -> dedup -> parent), and DuckDB recomputes the expected cell
+# table with the independent encode SQL.  WKT coordinates are written
+# with cast(double as string) (Java shortest-repr) so the pipeline's
+# regexp parse recovers bit-identical doubles.
+# Parent columns: rhp/s2/a5 parents are re-encodes of the same point at
+# parent_res (exact — the coarse digits of a fine encode replay the
+# identical float ops); H3's aperture-7 hierarchy is NOT spatially
+# nested, so its parent comes from the id bit math, like the engine's.
+def _points_docs(spark: SparkSession):
+    from pyspark.sql import functions as F
+
+    pts = spark.sql(_PTS_GLOBAL)
+    s = lambda c: F.col(c).cast("string")  # noqa: E731
+    wkt = F.concat(F.lit("POINT ("), s("lon"), F.lit(" "), s("lat"), F.lit(")"))
+    return pts.select(
+        F.col("point_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("geometry").alias("kind"),
+                wkt.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+
+def _q_points_pipeline(dggs: str, res: int, parent_res: int):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from vector2dggs_spark import index
+
+        load_views(spark, sf_dir)
+        r = index(spark, _points_docs(spark), dggs=dggs, resolution=res,
+                  parent_res=parent_res)
+        return r.cells
+
+    return fn
+
+
+def _points_pipeline_oracle(dggs: str, res: int, parent_res: int) -> str:
+    from vector2dggs_spark.dggs import get_backend
+    from vector2dggs_spark.functions.a5sql import a5_select_sql
+    from vector2dggs_spark.functions.h3sql import h3_select_sql
+
+    b = get_backend(dggs)
+    cell_col, parent_col = b.col_name(res), b.col_name(parent_res)
+    did = "cast(point_id as varchar) AS doc_id"
+    if dggs == "rhp":
+        enc = G.rhp_select_sql(_PTS_GLOBAL, "lat", "lon", res, ["point_id"])
+        return (f"SELECT cell AS {cell_col}, {did}, "
+                f"substring(cell, 1, {parent_res + 1}) AS {parent_col} "
+                f"FROM ({enc}) c")
+    if dggs == "s2":
+        enc = G.s2_select_sql(_PTS_GLOBAL, "lat", "lon", res, ["point_id"], dialect="duckdb")
+        pnc = G.s2_select_sql(_PTS_GLOBAL, "lat", "lon", parent_res, ["point_id"],
+                              dialect="duckdb", out="parent")
+        return (f"SELECT c.cell AS {cell_col}, cast(c.point_id as varchar) AS doc_id, "
+                f"p.parent AS {parent_col} "
+                f"FROM ({enc}) c JOIN ({pnc}) p ON c.point_id = p.point_id")
+    if dggs == "a5":
+        enc = a5_select_sql(_PTS_GLOBAL, "lat", "lon", res, ["point_id"])
+        pnc = a5_select_sql(_PTS_GLOBAL, "lat", "lon", parent_res, ["point_id"], out="parent")
+        return (f"SELECT c.cell AS {cell_col}, cast(c.point_id as varchar) AS doc_id, "
+                f"p.parent AS {parent_col} "
+                f"FROM ({enc}) c JOIN ({pnc}) p ON c.point_id = p.point_id")
+    # h3: parent by id bit math (aperture-7 is not spatially nested, so
+    # a parent-res re-encode would differ near child-cell boundaries)
+    enc = h3_select_sql(_PTS_GLOBAL, "lat", "lon", res, ["point_id"], dialect="duckdb")
+    fill = (1 << (3 * (15 - parent_res))) - 1
+    pid = (f"((('0x' || cell)::BIGINT | {fill}) - {(res - parent_res) << 52})")
+    nib = " || ".join(
+        f"substring('0123456789abcdef', cast((__p >> {4 * k}) & 15 as int) + 1, 1)"
+        for k in range(14, -1, -1)
+    )
+    return (f"SELECT cell AS {cell_col}, {did}, "
+            f"regexp_replace({nib}, '^0+', '') AS {parent_col} "
+            f"FROM (SELECT point_id, cell, {pid} AS __p FROM ({enc}) c) h")
+
+
+Q35 = (_q_points_pipeline("rhp", 5, 2), _points_pipeline_oracle("rhp", 5, 2))
+Q36 = (_q_points_pipeline("h3", 8, 3), _points_pipeline_oracle("h3", 8, 3))
+Q37 = (_q_points_pipeline("s2", 13, 7), _points_pipeline_oracle("s2", 13, 7))
+Q38 = (_q_points_pipeline("a5", 14, 8), _points_pipeline_oracle("a5", 14, 8))
+
+
 def _q_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: tile media refs -> decode (stub, mapInPandas)
     -> frame features (one-to-many mapInPandas) -> exploded scalar
@@ -855,6 +944,10 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q32_embedding_near_dup_arrow": Q32,
     "q33_point_index_h3": Q33,
     "q34_point_index_a5": Q34,
+    "q35_pipeline_points_rhp": Q35,
+    "q36_pipeline_points_h3": Q36,
+    "q37_pipeline_points_s2": Q37,
+    "q38_pipeline_points_a5": Q38,
     "q28_compaction_oracle": (
         lambda spark, sf_dir: _q_polyfill(spark, sf_dir, big_deg=0.8, compact=True),
         _compaction_oracle_sql(),
