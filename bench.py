@@ -106,12 +106,10 @@ def run_bench(spark, sf_dir: str) -> dict:
     from vector2dggs_spark.operators.udfs import point_to_cell_udf
 
     h3_n = 10_000_000
-    h3_src = (
-        f"SELECT id AS point_id, "
-        f"({G.dlit(-84.9)} + (id % 171) * {G.dlit(0.997)}) AS lat, "
-        f"({G.dlit(-179.8)} + ((id * 7) % 360) * {G.dlit(0.999)}) AS lon "
-        f"FROM range(0, {h3_n})"
-    )
+    # SAME formulas as the q30-q38 oracle corpus (the helper is
+    # parameterized by table) — the headline is measured on points the
+    # correctness gate covers
+    h3_src = G.derived_points_global_sql(f"range(0, {h3_n})", "id")
     h3_enc = point_to_cell_udf(_gb("h3"), 9)
 
     def _h3_run():

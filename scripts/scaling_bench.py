@@ -260,7 +260,10 @@ Notes
 - local[N] shares one JVM, page cache and memory bus, so this is a
   conservative proxy for multi-executor scale-out.
 """
-    with open(os.path.join(repo, "BENCH", "BASELINE_generated.md"), "w") as f:
+    # a subset run must not clobber the full evidence doc (a re-run of
+    # just job D used to silently truncate the table to one row)
+    suffix = "" if jobs == ["A", "B", "C", "D"] else "_" + "".join(jobs)
+    with open(os.path.join(repo, "BENCH", f"BASELINE_generated{suffix}.md"), "w") as f:
         f.write(md)
     print(json.dumps({"eff": eff, "norm": norm, "ceiling": ceiling,
                       "thr": thr}))

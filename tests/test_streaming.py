@@ -198,3 +198,58 @@ def test_streaming_dedup_matches_batch_and_bounds_state(spark, tmp_path):
         rows([("d", "HELLO WORLD", 10), ("e", "another new", 11)]), schema))
     exp = {r["doc_id"] for r in batch_dedup_documents(both).collect()}
     assert got == exp
+
+
+def test_streaming_dedup_windowed_is_arrival_order_independent(spark, tmp_path):
+    """The windowed dedup pair must agree row-for-row even when a
+    later-event_time duplicate ARRIVES first (the case where
+    dropDuplicatesWithinWatermark keeps a different row — confirmed by
+    the round-3 code review) and when the input is multi-partition."""
+    import datetime as dt
+
+    from vector2dggs_spark.streaming.dedup import (
+        batch_dedup_documents_windowed,
+        stream_dedup_documents_windowed,
+    )
+
+    in_dir = str(tmp_path / "win")
+    out_dir = str(tmp_path / "wout")
+    cp = str(tmp_path / "wcp")
+    os.makedirs(in_dir)
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "doc_id string, text string, event_time timestamp"
+
+    def rows(specs):
+        return [(d, t, t0 + dt.timedelta(minutes=m)) for d, t, m in specs]
+
+    # 'late' (t+30) arrives BEFORE 'early' (t+0) — same fingerprint;
+    # plus an in-order duplicate pair and a unique doc, multi-partition
+    data = rows([
+        ("late", "hello  world", 30), ("early", "Hello World", 0),
+        ("u1", "unique one", 5),
+        ("p1", "pair text", 10), ("p2", "PAIR  TEXT", 12),
+    ])
+    spark.createDataFrame(data, schema).repartition(4).write.mode("append").parquet(in_dir)
+    q = stream_dedup_documents_windowed(
+        spark, in_dir, out_dir, cp, window="1 hour", watermark="1 hour"
+    )
+    q.awaitTermination(120)
+    # a far-future row pushes the watermark past the first window so the
+    # finalized aggregates are emitted in append mode
+    spark.createDataFrame(rows([("flush", "flush doc", 600)]), schema).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    q2 = stream_dedup_documents_windowed(
+        spark, in_dir, out_dir, cp, window="1 hour", watermark="1 hour"
+    )
+    q2.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert "early" in got and "late" not in got  # min event_time wins
+    assert "p1" in got and "p2" not in got
+    batch = batch_dedup_documents_windowed(
+        spark.createDataFrame(data, schema).repartition(3), window="1 hour"
+    )
+    exp = {r["doc_id"] for r in batch.collect()}
+    # the flush row's own window is still open (not watermark-closed),
+    # so the emitted set equals the batch result over the first window
+    assert got == exp

@@ -54,6 +54,18 @@ class Backend:
         bound (kNN termination, SURVEY.md J3)."""
         return max(r - 1, 0) * 0.8 * self.cell_width_deg(res)
 
+    def native_point_cells(self, df, lat: str, lon: str, res: int,
+                           keep_cols: list[str], out: str = "cell"):
+        """Pure-JVM point encode over a DataFrame, or None when this
+        backend's point path belongs on the Arrow kernel instead.
+
+        The pipeline consults this hook for its zero-Python POINT
+        branch; keeping the decision per backend keeps the rationale
+        with the backend (e.g. H3 measured 5x FASTER on the Arrow
+        numpy kernel than on its layered-SQL formulation — the SQL is
+        its oracle, not its hot path — so H3 returns None here)."""
+        return None
+
 
 class GeohashBackend(Backend):
     name = "geohash"
@@ -116,6 +128,11 @@ class GeohashBackend(Backend):
         dlat, dlon = _gh.cell_dims(res)
         return r * min(dlat, dlon)
 
+    def native_point_cells(self, df, lat, lon, res, keep_cols, out="cell"):
+        from vector2dggs_spark.functions.sqlgen import geohash_col
+
+        return df.select(*keep_cols, geohash_col(lat, lon, res).alias(out))
+
     def cell_boundary(self, cells, res):
         """(n, m, 2) [lon, lat] closed rings — geohash cells are lat/lon
         rectangles."""
@@ -156,6 +173,11 @@ class RhpBackend(Backend):
 
     def compact(self, cells):
         return _rhp.compact(set(cells))
+
+    def native_point_cells(self, df, lat, lon, res, keep_cols, out="cell"):
+        from vector2dggs_spark.functions.sqlgen import rhp_cells_df
+
+        return rhp_cells_df(df, lat, lon, res, keep_cols, out=out)
 
     def get_resolution(self, cell: str) -> int:
         return len(cell) - 1

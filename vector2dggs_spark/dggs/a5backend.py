@@ -21,6 +21,10 @@ class A5Backend:
     def point_to_cell(self, lat, lon, res):
         return A.to_token(A.lonlat_to_cell(lat, lon, res))
 
+    def native_point_cells(self, df, lat, lon, res, keep_cols, out="cell"):
+        """Arrow path (functions/a5sql.py is the q34/q38 oracle)."""
+        return None
+
     def cell_center(self, cells, res):
         lon, lat = A.cell_to_lonlat(A.from_token(np.asarray(cells, dtype=str)))
         return lat, lon

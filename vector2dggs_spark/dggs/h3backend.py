@@ -31,6 +31,15 @@ class H3Backend:
     def point_to_cell(self, lat, lon, res):
         return H.to_token(H.latlng_to_cell(lat, lon, res))
 
+    def native_point_cells(self, df, lat, lon, res, keep_cols, out="cell"):
+        """H3 points stay on the Arrow numpy kernel — a MEASURED call:
+        the layered-SQL formulation (functions/h3sql.py, the q33/q36
+        oracle) runs 5x slower because the ~39-layer branchy pipeline
+        defeats JVM codegen (fused: past HotSpot's huge-method JIT
+        limit, ~30 s/10M; un-fused: one UnsafeRow materialization per
+        layer, ~9 s/10M) while numpy does 5.9M pts/s (1.7 s/10M)."""
+        return None
+
     def cell_center(self, cells, res):
         return H.cell_to_latlng(H.from_token(np.asarray(cells, dtype=str)))
 

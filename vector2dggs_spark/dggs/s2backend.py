@@ -21,6 +21,11 @@ class S2Backend:
     def point_to_cell(self, lat, lon, res):
         return S.to_token(S.latlng_to_cell(lat, lon, res))
 
+    def native_point_cells(self, df, lat, lon, res, keep_cols, out="cell"):
+        """Arrow path (same huge-branchy-SQL economics as H3 — the
+        layered SQL in sqlgen.s2_select_sql is the q31/q37 oracle)."""
+        return None
+
     def cell_center(self, cells, res):
         return S.cell_to_latlng(S.from_token(np.asarray(cells, dtype=str)))
 

@@ -27,8 +27,9 @@ from vector2dggs_spark.functions.textops import (
 )
 
 
-def _sig_udf(bands: int, bits: int, dim: int, seed: int):
-    """Arrow-batched signature UDF: embedding -> array of band values.
+def _sig_pack_udf(bands: int, bits: int, dim: int, seed: int):
+    """Arrow-batched UDF: embedding -> (band-value array, packed float32
+    blob) in ONE pass over the vector.
 
     Bit order matches textops.embedding_near_dup_lsh_sql exactly: plane
     ``i*bits + b`` contributes ``2^(bits-1-b)`` to band ``i``; a bit is
@@ -37,18 +38,20 @@ def _sig_udf(bands: int, bits: int, dim: int, seed: int):
     planes = np.asarray(_rademacher_planes(bands * bits, dim, seed), dtype=np.float64)
     weights = np.array([1 << (bits - 1 - b) for b in range(bits)], dtype=np.int64)
 
-    @F.pandas_udf("array<bigint>")
-    def _sig(emb: pd.Series) -> pd.Series:
+    @F.pandas_udf("struct<sig: array<bigint>, pk: binary>")
+    def _sig_pack(emb: pd.Series) -> pd.DataFrame:
         if len(emb) == 0:
-            return pd.Series([], dtype=object)
-        m = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
-        sign_bits = (m @ planes.T) >= 0.0  # (n, bands*bits)
+            return pd.DataFrame({"sig": [], "pk": []})
+        m32 = np.stack(emb.to_numpy()).astype(np.float32)
+        m = m32.astype(np.float64)
+        sign_bits = (m @ planes.T) >= 0.0
         packed = (
             sign_bits.reshape(len(m), bands, bits).astype(np.int64) * weights
         ).sum(axis=2)
-        return pd.Series(list(packed))
+        blobs = [row.tobytes() for row in np.ascontiguousarray(m32)]
+        return pd.DataFrame({"sig": list(packed), "pk": blobs})
 
-    return _sig
+    return _sig_pack
 
 
 def band_signatures(
@@ -60,11 +63,15 @@ def band_signatures(
     dim: int = EMB_DIM,
     seed: int = 1337,
 ) -> DataFrame:
-    """(id, band_idx, band_val) rows — sign-bit LSH signatures."""
-    sig = _sig_udf(bands, bits, dim, seed)
+    """(id, band_idx, band_val) rows — sign-bit LSH signatures (the
+    public building block; near_dup_lsh uses the same UDF with the
+    packed vector carried alongside)."""
+    sig = _sig_pack_udf(bands, bits, dim, seed)
     return df.select(
+        F.col(id_col), sig(F.col(vec_col)).alias("__sp")
+    ).select(
         F.col(id_col),
-        F.posexplode(sig(F.col(vec_col))).alias("band_idx", "band_val"),
+        F.posexplode("__sp.sig").alias("band_idx", "band_val"),
     )
 
 
@@ -96,24 +103,9 @@ def near_dup_lsh(
     # runs; the packed blob is dim*4 B flat.  A pair sharing k bands is
     # scored k times and collapsed by the final distinct — identical
     # inputs give identical numpy cosines, so the duplicates are exact.
-    planes = np.asarray(_rademacher_planes(bands * bits, dim, seed), dtype=np.float64)
-    weights = np.array([1 << (bits - 1 - b) for b in range(bits)], dtype=np.int64)
-
-    @F.pandas_udf("struct<sig: array<bigint>, pk: binary>")
-    def _sig_pack(emb: pd.Series) -> pd.DataFrame:
-        if len(emb) == 0:
-            return pd.DataFrame({"sig": [], "pk": []})
-        m32 = np.stack(emb.to_numpy()).astype(np.float32)
-        m = m32.astype(np.float64)
-        sign_bits = (m @ planes.T) >= 0.0
-        packed = (
-            sign_bits.reshape(len(m), bands, bits).astype(np.int64) * weights
-        ).sum(axis=2)
-        blobs = [row.tobytes() for row in np.ascontiguousarray(m32)]
-        return pd.DataFrame({"sig": list(packed), "pk": blobs})
-
+    sig = _sig_pack_udf(bands, bits, dim, seed)
     sigs = df.select(
-        F.col(id_col), _sig_pack(F.col(vec_col)).alias("__sp")
+        F.col(id_col), sig(F.col(vec_col)).alias("__sp")
     ).select(
         F.col(id_col),
         F.col("__sp.pk").alias("__e"),

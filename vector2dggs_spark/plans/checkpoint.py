@@ -218,7 +218,7 @@ def index_checkpointed(
     known = {
         "dggs", "resolution", "parent_res", "compact", "cut_threshold_deg2",
         "source_crs", "cut_crs", "cut_threshold_units2", "spatial_sort",
-        "keep_spans",
+        "keep_spans", "partitions",
     }
     unknown = set(index_kwargs) - known
     if unknown:
@@ -290,15 +290,20 @@ def index_checkpointed(
             with open(_manifest_path(os.path.join(checkpoint_dir, "prepare")), "w") as f:
                 json.dump(m_cur, f, indent=2)
 
+    partitions = index_kwargs.get("partitions")
     if spatial_sort != "none":
         # same hash-prefix shuffle as pipeline.index (range sampling over
         # a parquet stage is safe but still a second scan)
-        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        nparts = partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
         prepared = prepared.repartition(
             nparts,
             F.substring("sort_key", 1, 4),
             F.pmod(F.xxhash64("part_uid"), F.lit(8)),
         )
+    elif partitions:
+        prepared = prepared.repartition(partitions)
     cells = index_cells(prepared, backend, resolution)
     lines = cells.where(F.col("geom_type") == "LineString").dropDuplicates(["doc_id", "cell"])
     others = cells.where(F.col("geom_type") != "LineString")

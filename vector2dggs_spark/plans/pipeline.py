@@ -105,21 +105,16 @@ def index(
     geoms = extract_geometries(docs)
 
     native_points = None
-    if backend.name in ("geohash", "rhp") and source_crs in (None, 4326, "EPSG:4326"):
+    encoded = None
+    if source_crs in (None, 4326, "EPSG:4326"):
         # POINT spans (the dominant class at web scale) never leave the
-        # JVM for geohash/rhp: regexp parse + native cell encode, pure
-        # WholeStageCodegen (bit-arithmetic for geohash, layered HEALPix
-        # projection for rHP — functions/sqlgen.py).  H3 deliberately
-        # stays on the Arrow numpy path: its layered-SQL formulation
-        # (functions/h3sql.py, kept as the q33 oracle) measured 5x
-        # SLOWER than the vectorized kernel — the ~39-layer branchy
-        # pipeline defeats JVM codegen (fused: the single generated
-        # method blows past HotSpot's huge-method JIT limit, ~30 s/10M;
-        # un-fused: 91->39 UnsafeRow materializations still 9 s/10M)
-        # while numpy runs the same math at 5.9M pts/s (1.7 s/10M).
-        # Non-point spans take the Arrow-UDF path below; the two
-        # branches partition the rows, so no work is duplicated.
-        from vector2dggs_spark.functions.sqlgen import geohash_col, rhp_cells_df
+        # JVM when the backend offers a native encode (Backend.
+        # native_point_cells: bit-arithmetic SQL for geohash, layered
+        # HEALPix projection for rHP; H3/S2/A5 return None — H3's
+        # layered-SQL formulation measured 5x SLOWER than its Arrow
+        # numpy kernel, see the hook's docstring, so those backends
+        # keep their points on the Arrow path below).  The two branches
+        # partition the rows, so no work is duplicated.
         from vector2dggs_spark.operators.prepare import _POINT_RE
 
         pat = _POINT_RE.strip("^$")
@@ -133,14 +128,10 @@ def index(
                 F.regexp_extract("wkt", pat, 2).cast("double").alias("lat"),
             )
         )
-        if backend.name == "geohash":
-            encoded = pts.select(
-                "doc_id", "span_idx", geohash_col("lat", "lon", resolution).alias("cell")
-            )
-        else:
-            encoded = rhp_cells_df(
-                pts, "lat", "lon", resolution, ["doc_id", "span_idx"], out="cell"
-            )
+        encoded = backend.native_point_cells(
+            pts, "lat", "lon", resolution, ["doc_id", "span_idx"], out="cell"
+        )
+    if encoded is not None:
         native_points = encoded.select(
             "doc_id",
             F.concat_ws("#", "doc_id", F.col("span_idx").cast("string"), F.lit("0"), F.lit("0")).alias("part_uid"),

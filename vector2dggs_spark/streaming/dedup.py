@@ -1,27 +1,38 @@
 """Structured Streaming: exact near-dup removal on a document stream.
 
 A training-data ingest pipeline deduplicates BEFORE expensive downstream
-stages; this operator runs the batch exact-dedup semantics (q07/q08:
-md5 fingerprint of whitespace-normalized lowercased text, keep-first)
-over a stream with bounded state:
+stages; this module runs the batch exact-dedup semantics (q07/q08: md5
+fingerprint of whitespace-normalized lowercased text) over a stream with
+bounded state, in two variants:
 
-* fingerprint is computed with the same native expression as the batch
-  contract query (q08), so batch and streaming agree row-for-row,
-* ``dropDuplicatesWithinWatermark`` keeps one row per fingerprint while
-  the state store only retains fingerprints inside the event-time
-  watermark — at 100-TB ingest the dedup state cannot grow without
-  bound (the standard watermarked-dedup design; duplicates farther
-  apart than the watermark are handled by the batch dedup that runs on
-  the accumulated corpus).
+* ``stream_dedup_documents`` — ``dropDuplicatesWithinWatermark``: keeps
+  the FIRST-PROCESSED row per fingerprint (lowest latency, one row out
+  as soon as one arrives).  Arrival order is an ingest property, so
+  which duplicate survives is only deterministic when arrival follows
+  event time; the batch keep-min-event-time query is its oracle ONLY
+  under in-order, single-partition ingest (a code-review repro showed
+  they diverge when a later-event_time duplicate arrives first).
+* ``stream_dedup_documents_windowed`` — deterministic variant: group by
+  (event-time window, fingerprint) and keep the min-(event_time,
+  doc_id) row, emitted when the watermark closes the window.  Output is
+  a pure function of the data, independent of arrival order and
+  partitioning, so ``batch_dedup_documents_windowed`` matches it
+  row-for-row on ANY shuffling of the input.  Duplicates farther apart
+  than one window are handled by the batch dedup over the accumulated
+  corpus, as usual.
 
-The reference is a pure batch CLI (SURVEY.md §2.9); this module is part
-of the engine's training-pipeline extensions.
+State stays bounded in both: fingerprints (or windows) older than the
+watermark are evicted, so state ~ ingest-rate x horizon, not corpus
+size.  The reference is a pure batch CLI (SURVEY.md §2.9); this module
+is part of the engine's training-pipeline extensions.
 """
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+_SCHEMA = "doc_id string, text string, event_time timestamp"
 
 
 def fingerprint_expr() -> F.Column:
@@ -39,15 +50,15 @@ def stream_dedup_documents(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Streamed (doc_id, text, event_time) parquet files -> deduplicated
-    parquet (exactly-once file sink).
+    parquet (exactly-once file sink), FIRST-ARRIVAL semantics.
 
-    Keeps the FIRST arrival of each fingerprint; later duplicates within
-    the watermark horizon are dropped, and the state store evicts
-    fingerprints older than the watermark so state stays bounded by
-    ingest-rate x watermark, not corpus size.
+    Keeps the first PROCESSED row per fingerprint; later duplicates
+    within the watermark horizon are dropped, and the state store evicts
+    fingerprints older than the watermark.  Which duplicate survives
+    depends on arrival order — use the windowed variant when the output
+    must be a deterministic function of the data alone.
     """
-    schema = "doc_id string, text string, event_time timestamp"
-    docs = spark.readStream.schema(schema).parquet(input_dir)
+    docs = spark.readStream.schema(_SCHEMA).parquet(input_dir)
     deduped = (
         docs.withColumn("fingerprint", fingerprint_expr())
         .withWatermark("event_time", watermark)
@@ -64,9 +75,65 @@ def stream_dedup_documents(
     return writer.start()
 
 
+def _windowed_keep_first(docs: DataFrame, window: str) -> DataFrame:
+    """Shared batch/streaming plan: per (event-time window, fingerprint)
+    keep the row with the smallest (event_time, doc_id)."""
+    keep = F.min_by(
+        F.struct("doc_id", "text", "event_time"),
+        F.struct("event_time", "doc_id"),
+    ).alias("__keep")
+    return (
+        docs.withColumn("fingerprint", fingerprint_expr())
+        .groupBy(F.window("event_time", window), "fingerprint")
+        .agg(keep)
+        .select(
+            F.col("__keep.doc_id").alias("doc_id"),
+            F.col("__keep.text").alias("text"),
+            F.col("__keep.event_time").alias("event_time"),
+            "fingerprint",
+        )
+    )
+
+
+def stream_dedup_documents_windowed(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Deterministic streamed dedup: min-(event_time, doc_id) per
+    (window, fingerprint), emitted when the watermark finalizes the
+    window — row-for-row equal to ``batch_dedup_documents_windowed`` on
+    the same data regardless of arrival order or partitioning."""
+    docs = spark.readStream.schema(_SCHEMA).parquet(input_dir)
+    deduped = _windowed_keep_first(
+        docs.withWatermark("event_time", watermark), window
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def batch_dedup_documents_windowed(docs: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Batch twin of the windowed streaming dedup — the SAME plan, so
+    parity is by construction, not by luck of arrival order."""
+    return _windowed_keep_first(docs, window)
+
+
 def batch_dedup_documents(docs: DataFrame) -> DataFrame:
-    """Batch analog with identical semantics (keep-first by event_time,
-    doc_id tiebreak) — the parity oracle for the streaming operator."""
+    """Global batch keep-first (min event_time, doc_id tiebreak) across
+    the WHOLE corpus.  Oracle for ``stream_dedup_documents`` only under
+    in-order single-partition arrival; the windowed pair above is the
+    order-independent parity surface."""
     from pyspark.sql import Window as W
 
     return (
