@@ -253,3 +253,53 @@ def test_streaming_dedup_windowed_is_arrival_order_independent(spark, tmp_path):
     # the flush row's own window is still open (not watermark-closed),
     # so the emitted set equals the batch result over the first window
     assert got == exp
+
+
+def test_streaming_lsh_dedup_matches_batch_and_chains(spark, tmp_path):
+    """Greedy streaming LSH dedup (winners state table): same kept set
+    as the batch operator over the accumulated corpus; a cross-batch
+    duplicate is dropped via the persisted bucket winners, and a doc
+    chaining to a DROPPED doc's buckets is dropped too.  Replaying with
+    no new data changes nothing (idempotent foreachBatch)."""
+    import datetime as dt
+
+    from vector2dggs_spark.streaming.lsh_dedup import (
+        batch_lsh_dedup,
+        stream_lsh_dedup_documents,
+    )
+
+    in_dir = str(tmp_path / "lin"); os.makedirs(in_dir)
+    out_dir = str(tmp_path / "lout")
+    cp = str(tmp_path / "lcp")
+    st = str(tmp_path / "lstate")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "doc_id string, text string, event_time timestamp"
+
+    def rows(specs):
+        return [(d, t, t0 + dt.timedelta(minutes=m)) for d, t, m in specs]
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " extra"            # shares most shingles with base
+    far = "completely different words in this one with no overlap at all"
+    b1 = rows([("a", base, 0), ("b", far, 1), ("c", near, 2), ("s", "too short", 3)])
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    q = stream_lsh_dedup_documents(spark, in_dir, out_dir, cp, st)
+    q.awaitTermination(180)
+    # cross-batch: d duplicates a; f chains off c (the DROPPED doc)
+    b2 = rows([("d", base + " more", 10), ("e", "another unrelated corpus entry here", 11),
+               ("f", near + " extra", 12)])
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = stream_lsh_dedup_documents(spark, in_dir, out_dir, cp, st)
+    q2.awaitTermination(180)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    both = spark.createDataFrame(b1 + b2, schema)
+    exp = {r["doc_id"] for r in batch_lsh_dedup(both).collect()}
+    assert got == exp
+    assert "a" in got and "b" in got and "s" in got
+    assert "c" not in got and "d" not in got
+    # replay with no new data: output unchanged
+    q3 = stream_lsh_dedup_documents(spark, in_dir, out_dir, cp, st)
+    q3.awaitTermination(180)
+    again = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert again == got

@@ -271,7 +271,10 @@ _MH_P = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
 _MH_PERMS = [(2 * j + 3, 104729 * (j + 1)) for j in range(16)]
 
 
-def _minhash_sql(dialect: str) -> str:
+def _minhash_bands_cte(dialect: str) -> str:
+    """The shared WITH-chain ending at ``b(doc_id, band, bv)`` — the
+    banded MinHash signature table both q12 (candidate pairs) and q39
+    (greedy LSH dedup) build on."""
     if dialect == "spark":
         toks = "split(text, ' ')"
         size_fn, sl = "size", "slice(toks, i, 3)"
@@ -310,11 +313,7 @@ f AS (SELECT doc_id, toks FROM t WHERE {size_fn}(toks) >= 3),
 s AS (SELECT doc_id, {shingles} AS hs FROM f),
 m0 AS (SELECT doc_id, {mins} FROM s),
 m AS (SELECT doc_id, {unpack} FROM m0),
-b AS (SELECT doc_id, band, {bv} AS bv FROM m {bands})
-SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
-FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id
-GROUP BY 1, 2
-"""
+b AS (SELECT doc_id, band, {bv} AS bv FROM m {bands})"""
     shingles = (
         "[('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 12))::BIGINT "
         "for i in range(1, len(toks) - 1)]"
@@ -336,14 +335,42 @@ WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
 s AS (SELECT doc_id, {shingles} AS hs FROM f),
 m AS (SELECT doc_id, {mins} FROM s),
-b AS (SELECT doc_id, band, {bv} AS bv FROM m, range(0, 4) r(band))
+b AS (SELECT doc_id, band, {bv} AS bv FROM m, range(0, 4) r(band))"""
+
+
+def _minhash_sql(dialect: str) -> str:
+    return f"""{_minhash_bands_cte(dialect)}
 SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
 FROM b a JOIN b c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id
 GROUP BY 1, 2
 """
 
 
+def _lsh_dedup_sql(dialect: str) -> str:
+    """Greedy LSH dedup — the operation a training pipeline actually
+    runs over near-dup candidates: each band bucket is won by its
+    smallest doc_id, and a document is KEPT iff it wins all four of its
+    buckets (losing any bucket means an earlier document shares a band;
+    chains collapse transitively because the dropped doc still holds
+    its other buckets).  Deterministic pure-SQL semantics in both
+    engines; documents too short to shingle (<3 tokens) carry no bands
+    and are trivially kept."""
+    short = ("size(toks) < 3" if dialect == "spark" else "len(toks) < 3")
+    return f"""{_minhash_bands_cte(dialect)},
+w AS (SELECT band, bv, min(doc_id) AS winner FROM b GROUP BY 1, 2),
+kept AS (
+  SELECT b.doc_id
+  FROM b JOIN w ON b.band = w.band AND b.bv = w.bv
+  GROUP BY b.doc_id
+  HAVING sum(CASE WHEN b.doc_id = w.winner THEN 1 ELSE 0 END) = 4)
+SELECT doc_id FROM kept
+UNION ALL
+SELECT doc_id FROM t WHERE {short}
+"""
+
+
 Q12 = _dialects(_minhash_sql("spark"), _minhash_sql("duckdb"))
+Q39 = _dialects(_lsh_dedup_sql("spark"), _lsh_dedup_sql("duckdb"))
 
 # ANN: brute-force cosine top-10 vs query vector 0; sequential double
 # folds keep both engines bit-identical, rank on the exact value.
@@ -948,6 +975,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q36_pipeline_points_h3": Q36,
     "q37_pipeline_points_s2": Q37,
     "q38_pipeline_points_a5": Q38,
+    "q39_lsh_dedup_greedy": Q39,
     "q28_compaction_oracle": (
         lambda spark, sf_dir: _q_polyfill(spark, sf_dir, big_deg=0.8, compact=True),
         _compaction_oracle_sql(),
