@@ -137,3 +137,65 @@ def test_geoparquet_all_backends(spark, tmp_path, dggs, res, pr):
     out2 = str(tmp_path / f"geo_{dggs}_poly")
     write_geoparquet(r, out2, mode="polygon", overwrite=True)
     assert any(f.endswith(".parquet") for _r, _d, fs in os.walk(out2) for f in fs)
+
+
+def test_footer_splice_is_footer_only(tmp_path):
+    """rewrite_footer_metadata edits only the footer: the byte prefix up
+    to the old footer start is identical after the upsert, the data
+    round-trips, and existing KV keys survive."""
+    import struct as _struct
+
+    import pyarrow as pa
+
+    from vector2dggs_spark.sources.parquet_footer import rewrite_footer_metadata
+
+    path = str(tmp_path / "f.parquet")
+    t = pa.table({"a": list(range(500)), "b": [f"s{i}" for i in range(500)]})
+    pq.write_table(t, path, compression="zstd")
+    before = open(path, "rb").read()
+    footer_len = _struct.unpack("<I", before[-8:-4])[0]
+    data_end = len(before) - 8 - footer_len
+
+    rewrite_footer_metadata(path, {b"geo": b'{"v": 1}'})
+    after = open(path, "rb").read()
+    assert after[:data_end] == before[:data_end]  # zero data bytes touched
+    md = pq.ParquetFile(path).metadata.metadata
+    assert md[b"geo"] == b'{"v": 1}'
+    assert b"ARROW:schema" in md  # pre-existing key preserved
+    assert pq.read_table(path).drop_columns([]).equals(t)
+    # upsert replaces, not duplicates
+    rewrite_footer_metadata(path, {b"geo": b'{"v": 2}'})
+    assert pq.ParquetFile(path).metadata.metadata[b"geo"] == b'{"v": 2}'
+
+
+def test_attach_geo_runs_off_driver(spark, result, tmp_path, monkeypatch):
+    """VERDICT r03 #1: the geo post-pass must not read data files on the
+    driver.  Poison pq.read_table/write_table in the driver process (the
+    executor python workers are separate processes, unaffected) and the
+    full write_geoparquet still succeeds with exact per-file bboxes."""
+    import pyarrow.parquet as _pq
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side pyarrow data-file I/O in geo post-pass")
+
+    monkeypatch.setattr(_pq, "read_table", _boom)
+    monkeypatch.setattr(_pq, "write_table", _boom)
+    out = str(tmp_path / "offdriver")
+    write_geoparquet(result, out, mode="point")
+    monkeypatch.undo()
+
+    files = list(_files(out))
+    assert files
+    for path in files:
+        t = pq.read_table(path)
+        geo = json.loads(t.schema.metadata[b"geo"])
+        bbox = geo["columns"]["geometry"]["bbox"]
+        # bbox is EXACT for this file's geometries
+        import struct as _struct
+
+        xs, ys = [], []
+        for wkb in t.column("geometry").to_pylist():
+            x, y = _struct.unpack_from("<2d", memoryview(wkb), 5)
+            xs.append(x)
+            ys.append(y)
+        assert bbox == [min(xs), min(ys), max(xs), max(ys)]

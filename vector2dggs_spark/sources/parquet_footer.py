@@ -1,0 +1,263 @@
+"""Footer-only Parquet key/value-metadata splice.
+
+The GeoParquet sink (S7) must attach a ``geo`` key to each data file's
+schema metadata.  Rewriting the file with ``pq.read_table``/``write_table``
+decodes and re-encodes every data page — O(dataset) work for a
+constant-size metadata edit.  This module edits the footer *in place*:
+
+* a Parquet file is ``[data pages][thrift FileMetaData][int32 len]"PAR1"``;
+  every offset stored in the metadata is absolute from the start of the
+  file, so the footer can be replaced by a longer/shorter one without
+  touching a single data byte (the same property ``_metadata`` summary
+  files rely on);
+* ``FileMetaData`` is a Thrift *compact-protocol* struct whose field 5 is
+  ``list<KeyValue> key_value_metadata``.  We parse the top-level struct
+  into ``(field_id, type, raw_value_bytes)`` triples — values are copied
+  verbatim because compact-protocol value encodings are independent of
+  the field id — splice the KeyValue list, and re-emit the struct.
+
+Cost per file is O(footer bytes) regardless of data size, so a cluster
+can re-stamp a 100-TB dataset's footers in seconds.
+
+Reference behaviour mirrored: ``/root/reference/vector2dggs/common.py``
+(GeoParquet metadata attach after the partitioned write).
+"""
+from __future__ import annotations
+
+import os
+import struct
+
+# thrift compact-protocol type codes
+_STOP = 0
+_BOOL_TRUE = 1
+_BOOL_FALSE = 2
+_BYTE = 3
+_I16 = 4
+_I32 = 5
+_I64 = 6
+_DOUBLE = 7
+_BINARY = 8
+_LIST = 9
+_SET = 10
+_MAP = 11
+_STRUCT = 12
+
+KV_FIELD_ID = 5  # FileMetaData.key_value_metadata
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def byte(self) -> int:
+        b = self.buf[self.pos]
+        self.pos += 1
+        return b
+
+    def varint(self) -> int:
+        out = 0
+        shift = 0
+        while True:
+            b = self.byte()
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+
+    def take(self, n: int) -> bytes:
+        out = self.buf[self.pos : self.pos + n]
+        if len(out) != n:
+            raise ValueError("truncated thrift value")
+        self.pos += n
+        return out
+
+    def skip(self, ftype: int, in_field: bool = False) -> None:
+        if ftype in (_BOOL_TRUE, _BOOL_FALSE):
+            # in field position the bool value lives in the type nibble
+            # (no payload); as a list/set element it occupies one byte
+            if not in_field:
+                self.pos += 1
+        elif ftype == _BYTE:
+            self.pos += 1
+        elif ftype in (_I16, _I32, _I64):
+            self.varint()
+        elif ftype == _DOUBLE:
+            self.pos += 8
+        elif ftype == _BINARY:
+            n = self.varint()  # NOT `pos += varint()`: += reads pos first
+            self.pos += n
+        elif ftype in (_LIST, _SET):
+            head = self.byte()
+            size = (head >> 4) & 0x0F
+            elem = head & 0x0F
+            if size == 0x0F:
+                size = self.varint()
+            for _ in range(size):
+                self.skip(elem)
+        elif ftype == _MAP:
+            size = self.varint()
+            if size:
+                kv = self.byte()
+                kt, vt = (kv >> 4) & 0x0F, kv & 0x0F
+                for _ in range(size):
+                    self.skip(kt)
+                    self.skip(vt)
+        elif ftype == _STRUCT:
+            while True:
+                head = self.byte()
+                if head == _STOP:
+                    return
+                delta = (head >> 4) & 0x0F
+                sub = head & 0x0F
+                if delta == 0:
+                    _zigzag(self.varint())
+                self.skip(sub, in_field=True)
+        else:
+            raise ValueError(f"unknown thrift compact type {ftype}")
+
+
+def _zigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _parse_struct_fields(r: _Reader) -> list[tuple[int, int, bytes]]:
+    """Top-level struct -> [(field_id, type, raw_value_bytes)] (bools carry
+    their value in the *type* code and have empty raw bytes)."""
+    fields = []
+    fid = 0
+    while True:
+        head = r.byte()
+        if head == _STOP:
+            return fields
+        delta = (head >> 4) & 0x0F
+        ftype = head & 0x0F
+        if delta == 0:
+            fid = _zigzag(r.varint())
+        else:
+            fid += delta
+        start = r.pos
+        r.skip(ftype, in_field=True)
+        fields.append((fid, ftype, r.buf[start : r.pos]))
+
+
+def _emit_struct(fields: list[tuple[int, int, bytes]]) -> bytes:
+    out = bytearray()
+    prev = 0
+    for fid, ftype, raw in sorted(fields, key=lambda f: f[0]):
+        delta = fid - prev
+        if 0 < delta <= 15:
+            out.append((delta << 4) | ftype)
+        else:
+            out.append(ftype)
+            out += _varint((fid << 1) ^ (fid >> 63) if fid < 0 else fid << 1)
+        out += raw
+        prev = fid
+    out.append(_STOP)
+    return bytes(out)
+
+
+def _kv_struct(key: bytes, value: bytes) -> bytes:
+    """Serialize a thrift KeyValue{1: key, 2: value} struct body."""
+    out = bytearray()
+    out.append((1 << 4) | _BINARY)
+    out += _varint(len(key)) + key
+    out.append((1 << 4) | _BINARY)
+    out += _varint(len(value)) + value
+    out.append(_STOP)
+    return bytes(out)
+
+
+def _kv_key(raw_struct: bytes) -> bytes:
+    """Extract the ``key`` field from a raw KeyValue struct."""
+    for fid, ftype, raw in _parse_struct_fields(_Reader(raw_struct)):
+        if fid == 1 and ftype == _BINARY:
+            r = _Reader(raw)
+            return r.take(r.varint())
+    return b""
+
+
+def _parse_kv_list(raw: bytes) -> list[bytes]:
+    r = _Reader(raw)
+    head = r.byte()
+    size = (head >> 4) & 0x0F
+    if (head & 0x0F) != _STRUCT:
+        raise ValueError("key_value_metadata is not list<struct>")
+    if size == 0x0F:
+        size = r.varint()
+    out = []
+    for _ in range(size):
+        start = r.pos
+        r.skip(_STRUCT)
+        out.append(r.buf[start : r.pos])
+    return out
+
+
+def _emit_kv_list(structs: list[bytes]) -> bytes:
+    n = len(structs)
+    out = bytearray()
+    if n < 15:
+        out.append((n << 4) | _STRUCT)
+    else:
+        out.append(0xF0 | _STRUCT)
+        out += _varint(n)
+    for s in structs:
+        out += s
+    return bytes(out)
+
+
+def splice_key_value(footer: bytes, pairs: dict[bytes, bytes]) -> bytes:
+    """Return new FileMetaData bytes with ``pairs`` upserted into
+    key_value_metadata; all other fields byte-identical."""
+    fields = _parse_struct_fields(_Reader(footer))
+    existing: list[bytes] = []
+    rest = []
+    for fid, ftype, raw in fields:
+        if fid == KV_FIELD_ID and ftype == _LIST:
+            existing = _parse_kv_list(raw)
+        else:
+            rest.append((fid, ftype, raw))
+    merged = [s for s in existing if _kv_key(s) not in pairs]
+    merged += [_kv_struct(k, v) for k, v in pairs.items()]
+    rest.append((KV_FIELD_ID, _LIST, _emit_kv_list(merged)))
+    return _emit_struct(rest)
+
+
+def rewrite_footer_metadata(path: str, pairs: dict[bytes, bytes]) -> int:
+    """In-place footer-only upsert of key/value schema metadata on a
+    Parquet file.  Data pages are untouched (verified by test asserting
+    the byte prefix is identical).  Returns the new footer length."""
+    with open(path, "r+b") as f:
+        f.seek(0, os.SEEK_END)
+        size = f.tell()
+        if size < 12:
+            raise ValueError(f"{path}: not a parquet file")
+        f.seek(size - 8)
+        tail = f.read(8)
+        footer_len = struct.unpack("<I", tail[:4])[0]
+        if tail[4:] != b"PAR1":
+            raise ValueError(f"{path}: missing PAR1 trailer")
+        data_end = size - 8 - footer_len
+        f.seek(data_end)
+        footer = f.read(footer_len)
+        new_footer = splice_key_value(footer, pairs)
+        f.seek(data_end)
+        f.write(new_footer)
+        f.write(struct.pack("<I", len(new_footer)))
+        f.write(b"PAR1")
+        f.truncate()
+    return len(new_footer)
