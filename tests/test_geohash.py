@@ -214,3 +214,42 @@ def test_backend_linetrace_mode_plumbing():
     assert b.linetrace_mode == "astar"
     c = np.array([[-176.5, -44.2], [-176.3, -44.0]])
     assert set(b.linetrace(c, 6)) == set(G.linetrace_astar(c, 6))
+
+
+def test_supercover_is_exact_vs_slab_intersection():
+    """The column-interval supercover equals the brute-force 'segment
+    intersects the closed cell box' rasterization (no sampling misses —
+    the round-3 dense-sample version could skip corner slivers)."""
+    import numpy as np
+
+    def brute(x0, y0, x1, y1):
+        out = set()
+        for ix in range(int(np.floor(min(x0, x1))), int(np.floor(max(x0, x1))) + 1):
+            for iy in range(int(np.floor(min(y0, y1))), int(np.floor(max(y0, y1))) + 1):
+                dx, dy = x1 - x0, y1 - y0
+                t0, t1 = 0.0, 1.0
+                ok = True
+                for p, d, lo, hi in ((x0, dx, ix, ix + 1), (y0, dy, iy, iy + 1)):
+                    if d == 0:
+                        if p < lo or p > hi:
+                            ok = False
+                            break
+                    else:
+                        ta, tb = (lo - p) / d, (hi - p) / d
+                        if ta > tb:
+                            ta, tb = tb, ta
+                        t0, t1 = max(t0, ta), min(t1, tb)
+                        if t0 > t1:
+                            ok = False
+                            break
+                if ok:
+                    out.add((ix, iy))
+        return out
+
+    rng = np.random.default_rng(11)
+    for _ in range(400):
+        x0, y0 = rng.uniform(-5, 5, 2)
+        x1, y1 = x0 + rng.uniform(-8, 8), y0 + rng.uniform(-8, 8)
+        assert {tuple(r) for r in G._segment_cells(x0, y0, x1, y1)} == brute(x0, y0, x1, y1)
+    for seg in [(0.5, 0.5, 0.5, 7.3), (0.2, 0.3, 9.7, 0.3), (1.1, 1.1, 1.1, 1.1)]:
+        assert {tuple(r) for r in G._segment_cells(*seg)} == brute(*seg)

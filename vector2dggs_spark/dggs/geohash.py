@@ -280,15 +280,40 @@ def linetrace_supercover(coords: np.ndarray, precision: int) -> np.ndarray:
 
 
 def _segment_cells(x0: float, y0: float, x1: float, y1: float) -> np.ndarray:
-    """Grid supercover of one segment in grid space -> (n, 2) [ix, iy]."""
-    n_steps = int(np.ceil(abs(x1 - x0) + abs(y1 - y0))) + 1
-    # sample densely enough that no crossed cell is skipped: the segment
-    # crosses at most |dx|+|dy|+1 cells; 4x oversampling guarantees
-    # adjacent samples are < half a cell apart on each axis.
-    t = np.linspace(0.0, 1.0, 4 * n_steps + 1)
-    xs = np.floor(x0 + (x1 - x0) * t).astype(np.int64)
-    ys = np.floor(y0 + (y1 - y0) * t).astype(np.int64)
-    return np.unique(np.stack([xs, ys], axis=1), axis=0)
+    """EXACT grid supercover of one segment in grid space -> (n, 2)
+    [ix, iy]: for each x-column the segment overlaps, clamp the segment
+    to the column's x-slab, evaluate y at both clamped ends, and emit
+    cells floor(min y)..floor(max y).  Column-interval rasterization —
+    no sampling, so corner-clipping sliver cells are never missed (the
+    round-3 dense-sample version could skip a cell whose chord was
+    shorter than the sample spacing).  The q40 contract oracle restates
+    this same construction in DuckDB SQL (generate_series over columns,
+    identical clamp/interpolation expressions), so the match is
+    bit-exact on generic corpora."""
+    if x1 < x0:
+        x0, y0, x1, y1 = x1, y1, x0, y0
+    ix0 = int(np.floor(x0))
+    ix1 = int(np.floor(x1))
+    if x1 == x0:  # vertical: the interpolation below would divide by 0
+        ylo, yhi = (y0, y1) if y0 <= y1 else (y1, y0)
+        iys = np.arange(int(np.floor(ylo)), int(np.floor(yhi)) + 1, dtype=np.int64)
+        return np.stack([np.full_like(iys, ix0), iys], axis=1)
+    cols = np.arange(ix0, ix1 + 1, dtype=np.int64)
+    dx = x1 - x0
+    xl = np.maximum(cols.astype(np.float64), x0)
+    xr = np.minimum(cols.astype(np.float64) + 1.0, x1)
+    yl = y0 + (y1 - y0) * ((xl - x0) / dx)
+    yr = y0 + (y1 - y0) * ((xr - x0) / dx)
+    lo = np.floor(np.minimum(yl, yr)).astype(np.int64)
+    hi = np.floor(np.maximum(yl, yr)).astype(np.int64)
+    counts = hi - lo + 1
+    total = int(counts.sum())
+    offs = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    return np.stack(
+        [np.repeat(cols, counts), np.repeat(lo, counts) + offs], axis=1
+    )
 
 
 # --------------------------------------------------------------- A* linetrace

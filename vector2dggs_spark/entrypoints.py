@@ -937,6 +937,123 @@ FROM fr, (SELECT unnest(range(16)) AS dim) dm
 """
 
 
+def _line_corpus_sql(table: str = "events", id_col: str = "event_id") -> str:
+    """doc_id + 3 polyline vertices (ax,ay)-(bx,by)-(cx,cy) in degrees —
+    IDENTICAL text in both dialects.  Segments are 0.05°-0.3° long with
+    mixed slopes (both signs, shallow and steep vs the ~0.011°x0.0055°
+    res-6 cell) and never vertical, so the supercover's general
+    column-interpolation path is what both engines execute."""
+    ax = f"({G.dlit(-176.6)} + (({id_col} * 7) % 400) * {G.dlit(0.001)})"
+    ay = f"({G.dlit(-44.4)} + ({id_col} % 700) * {G.dlit(0.001)})"
+    return f"""
+SELECT doc_id, ax, ay,
+       (ax + {G.dlit(0.05)} + ({id_col} % 13) * {G.dlit(0.017)}) AS bx,
+       (ay + {G.dlit(-0.11)} + ({id_col} % 9) * {G.dlit(0.027)}) AS by,
+       (ax + {G.dlit(0.08)} + ({id_col} % 7) * {G.dlit(0.013)}) AS cx,
+       (ay + {G.dlit(0.09)} - ({id_col} % 11) * {G.dlit(0.019)}) AS cy,
+       {id_col} AS __id
+FROM (
+  SELECT ('L' || cast({id_col} as string)) AS doc_id,
+         {ax} AS ax, {ay} AS ay, {id_col}
+  FROM {table}) __l
+"""
+
+
+def _q_linetrace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q40 — REAL pipeline over a SQL-derived 2-segment polyline corpus
+    with ``linetrace_mode="supercover"`` (C14's oracle-exact mode; the
+    A* default legitimately skips corner cells so it keeps its
+    Dijkstra-optimality pytest oracle instead)."""
+    from pyspark.sql import functions as F
+
+    from vector2dggs_spark import index
+
+    load_views(spark, sf_dir)
+    corpus = spark.sql(_line_corpus_sql())
+    s = lambda c: F.col(c).cast("string")  # noqa: E731 — Java shortest-repr
+    # round-trips exactly through the numpy WKT parse (q14's trick)
+    wkt = F.concat(
+        F.lit("LINESTRING ("),
+        s("ax"), F.lit(" "), s("ay"), F.lit(", "),
+        s("bx"), F.lit(" "), s("by"), F.lit(", "),
+        s("cx"), F.lit(" "), s("cy"), F.lit(")"),
+    )
+    docs = corpus.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("geometry").alias("kind"),
+                wkt.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    r = index(spark, docs, dggs="geohash", resolution=_GEO_RES,
+              parent_res=_GEO_PARENT, cut_threshold_deg2=0,
+              linetrace_mode="supercover")
+    return r.cells
+
+
+def _linetrace_oracle_sql() -> str:
+    """DuckDB restatement of the supercover linetrace: grid-space
+    endpoints, one row per x-column via correlated generate_series, the
+    SAME clamp/interpolation doubles the numpy kernel evaluates
+    (dggs/geohash.py:_segment_cells — column-interval rasterization),
+    then cell-center re-encode through the shared staged geohash SQL.
+    Bit-exact because every expression is textually identical
+    IEEE-754 double arithmetic in both engines."""
+    from vector2dggs_spark.dggs.geohash import cell_dims
+
+    dlat, dlon = cell_dims(_GEO_RES)
+    enc = G.geohash_select_sql(
+        "SELECT doc_id, clat, clon FROM ctr", "clat", "clon", _GEO_RES,
+        ["doc_id"], out="cell",
+    )
+    return f"""
+WITH lines AS ({_line_corpus_sql()}),
+segs AS (
+  SELECT doc_id, ax AS px, ay AS py, bx AS qx, by AS qy FROM lines
+  UNION ALL
+  SELECT doc_id, bx, by, cx, cy FROM lines),
+g AS (SELECT doc_id,
+             ((px + {G.dlit(180.0)}) / {G.dlit(dlon)}) AS gx0,
+             ((py + {G.dlit(90.0)}) / {G.dlit(dlat)}) AS gy0,
+             ((qx + {G.dlit(180.0)}) / {G.dlit(dlon)}) AS gx1,
+             ((qy + {G.dlit(90.0)}) / {G.dlit(dlat)}) AS gy1
+      FROM segs),
+o AS (SELECT doc_id,
+             CASE WHEN gx1 < gx0 THEN gx1 ELSE gx0 END AS x0,
+             CASE WHEN gx1 < gx0 THEN gy1 ELSE gy0 END AS y0,
+             CASE WHEN gx1 < gx0 THEN gx0 ELSE gx1 END AS x1,
+             CASE WHEN gx1 < gx0 THEN gy0 ELSE gy1 END AS y1
+      FROM g),
+cols AS (SELECT doc_id, x0, y0, x1, y1,
+                unnest(generate_series(cast(floor(x0) as bigint),
+                                       cast(floor(x1) as bigint))) AS ix
+         FROM o),
+cl AS (SELECT doc_id, x0, y0, x1, y1, ix,
+              greatest(cast(ix as double), x0) AS xl,
+              least(cast(ix as double) + {G.dlit(1.0)}, x1) AS xr
+       FROM cols),
+yy AS (SELECT doc_id, ix,
+              (y0 + (y1 - y0) * ((xl - x0) / (x1 - x0))) AS yl,
+              (y0 + (y1 - y0) * ((xr - x0) / (x1 - x0))) AS yr
+       FROM cl),
+cells AS (SELECT doc_id, ix,
+                 unnest(generate_series(
+                   cast(floor(least(yl, yr)) as bigint),
+                   cast(floor(greatest(yl, yr)) as bigint))) AS iy
+          FROM yy),
+dcells AS (SELECT DISTINCT doc_id, ix, iy FROM cells),
+ctr AS (SELECT doc_id,
+               ({G.dlit(-180.0)} + (ix + {G.dlit(0.5)}) * {G.dlit(dlon)}) AS clon,
+               ({G.dlit(-90.0)} + (iy + {G.dlit(0.5)}) * {G.dlit(dlat)}) AS clat
+        FROM dcells),
+allc AS ({enc})
+""" + _FINAL_SELECT.format(src="allc")
+
+
 QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q01_pricing_summary": Q01,
     "q02_top_orders_per_customer": Q02,
@@ -980,6 +1097,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
         lambda spark, sf_dir: _q_polyfill(spark, sf_dir, big_deg=0.8, compact=True),
         _compaction_oracle_sql(),
     ),
+    "q40_linetrace_pipeline_geohash": (_q_linetrace, _linetrace_oracle_sql()),
 }
 
 

@@ -218,7 +218,7 @@ def index_checkpointed(
     known = {
         "dggs", "resolution", "parent_res", "compact", "cut_threshold_deg2",
         "source_crs", "cut_crs", "cut_threshold_units2", "spatial_sort",
-        "keep_spans", "partitions",
+        "keep_spans", "partitions", "linetrace_mode",
     }
     unknown = set(index_kwargs) - known
     if unknown:
@@ -229,6 +229,19 @@ def index_checkpointed(
     dggs = index_kwargs.get("dggs", "geohash")
     resolution = index_kwargs.get("resolution", 6)
     backend = get_backend(dggs)
+    linetrace_mode = index_kwargs.get("linetrace_mode")
+    if linetrace_mode is not None:
+        import copy
+
+        if not hasattr(type(backend), "linetrace_mode"):
+            raise ValueError(
+                f"backend {dggs!r} has a single linetrace algorithm; "
+                "linetrace_mode is only configurable for geohash"
+            )
+        if linetrace_mode not in ("astar", "supercover"):
+            raise ValueError(f"unknown linetrace_mode {linetrace_mode!r}")
+        backend = copy.copy(backend)
+        backend.linetrace_mode = linetrace_mode
     parent_res = index_kwargs.get("parent_res") or backend.default_parent_res(resolution)
     cut = index_kwargs.get("cut_threshold_deg2")
     if cut is None:
@@ -249,6 +262,7 @@ def index_checkpointed(
     fp = (
         f"{fingerprint}|{dggs}|r{resolution}|p{parent_res}|c{cut}"
         f"|crs{source_crs}|cut{cut_crs}:{cut_units2}|s{spatial_sort}"
+        + (f"|lt{linetrace_mode}" if linetrace_mode is not None else "")
     )
 
     from pyspark.sql import Observation

@@ -68,6 +68,7 @@ def index(
     source_crs=None,
     cut_crs=None,
     cut_threshold_units2: float | None = None,
+    linetrace_mode: str | None = None,
 ) -> IndexResult:
     """documents (doc_id, spans) -> cell table
     (``{dggs}_{res:02}``, doc_id[, spans]) with parent secondary index.
@@ -83,6 +84,22 @@ def index(
     backend threshold converted to m² when only ``cut_crs`` is given).
     """
     backend = get_backend(dggs)
+    if linetrace_mode is not None:
+        # per-call override of the LineString traversal ("astar" =
+        # reference parity, "supercover" = every crossed cell — q40's
+        # oracle-exact mode); copy so the registry singleton (shared
+        # across concurrent pipelines) is never mutated
+        import copy
+
+        if not hasattr(type(backend), "linetrace_mode"):
+            raise ValueError(
+                f"backend {dggs!r} has a single linetrace algorithm; "
+                "linetrace_mode is only configurable for geohash"
+            )
+        if linetrace_mode not in ("astar", "supercover"):
+            raise ValueError(f"unknown linetrace_mode {linetrace_mode!r}")
+        backend = copy.copy(backend)
+        backend.linetrace_mode = linetrace_mode
     if parent_res is None:
         parent_res = backend.default_parent_res(resolution)
     check_resolutions(backend, resolution, parent_res)
