@@ -937,6 +937,159 @@ FROM fr, (SELECT unnest(range(16)) AS dim) dm
 """
 
 
+_RHPC_RES, _RHPC_PARENT = 6, 3
+
+
+def _rhp_rect_corpus_sql(table: str = "events", id_col: str = "event_id") -> str:
+    """Axis-aligned rects wholly inside the rHEALPix equatorial zone
+    (face O) — IDENTICAL text in both dialects.  Small rects span 2-5
+    res-6 cells per axis (0.123°); every ~397th 'big' rect is 2.5°,
+    which guarantees at least one complete aligned res-5 (0.37°) AND
+    res-4 (1.11°) sibling block but can never cover a res-3 cell
+    (3.33°), so the parent_res=3 floor provably never re-expands."""
+    lat = f"({G.dlit(-20.8)} + ({id_col} % 700) * {G.dlit(0.001)})"
+    lon = f"({G.dlit(-176.6)} + (({id_col} * 7) % 400) * {G.dlit(0.001)})"
+    big = f"{id_col} % 397 = 0"
+    w = f"(CASE WHEN {big} THEN {G.dlit(2.5)} ELSE {G.dlit(0.25)} + ({id_col} % 7) * {G.dlit(0.05)} END)"
+    h = f"(CASE WHEN {big} THEN {G.dlit(2.5)} ELSE {G.dlit(0.25)} + ({id_col} % 5) * {G.dlit(0.06)} END)"
+    return f"""
+SELECT doc_id,
+       (lon - w * {G.dlit(0.5)}) AS x0, (lat - h * {G.dlit(0.5)}) AS y0,
+       (lon + w * {G.dlit(0.5)}) AS x1, (lat + h * {G.dlit(0.5)}) AS y1
+FROM (
+  SELECT ('R' || cast({id_col} as string)) AS doc_id,
+         {lat} AS lat, {lon} AS lon, {w} AS w, {h} AS h
+  FROM {table}) __r
+"""
+
+
+def _q_rhp_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q41 — REAL pipeline (polyfill + compaction) on the rHP backend
+    over a SQL-derived rect corpus; the 9-sibling analog of q28
+    (VERDICT r03 #4: pins A2/A3 on a second cell geometry with a full
+    DuckDB oracle instead of a golden hash)."""
+    from pyspark.sql import functions as F
+
+    from vector2dggs_spark import index
+
+    load_views(spark, sf_dir)
+    corpus = spark.sql(_rhp_rect_corpus_sql())
+    s = lambda c: F.col(c).cast("string")  # noqa: E731 — Java shortest-repr
+    rect_wkt = F.concat(
+        F.lit("POLYGON (("),
+        s("x0"), F.lit(" "), s("y0"), F.lit(", "),
+        s("x1"), F.lit(" "), s("y0"), F.lit(", "),
+        s("x1"), F.lit(" "), s("y1"), F.lit(", "),
+        s("x0"), F.lit(" "), s("y1"), F.lit(", "),
+        s("x0"), F.lit(" "), s("y0"), F.lit("))"),
+    )
+    docs = corpus.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("geometry").alias("kind"),
+                rect_wkt.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    r = index(spark, docs, dggs="rhp", resolution=_RHPC_RES,
+              parent_res=_RHPC_PARENT, cut_threshold_deg2=0, compact=True)
+    return r.cells
+
+
+def _rhp_compaction_oracle_sql() -> str:
+    """DuckDB restatement of the rHP polyfill + compaction: candidate
+    cells enumerated on the projected equatorial grid (generate_series
+    with a safety margin — extra candidates fail the strict inside
+    test), centers inverse-projected with the SAME double expressions
+    the numpy kernel evaluates (dggs/rhp.py:unproject equatorial
+    branch: asin + authalic-to-geodetic series), strict center-in-rect,
+    re-encode through the shared layered HEALPix SQL (q30's proven
+    generator), then the 9-sibling iterative merge replayed as chained
+    prefix GROUP BYs (q28's construction, aperture 9)."""
+    from vector2dggs_spark.dggs import rhp as R
+
+    res, p = _RHPC_RES, _RHPC_PARENT
+    side = R._PI / 2.0 / (3**res)
+    d = G.dlit
+    rad = d(0.017453292519943295)   # np.radians multiplier
+    deg = d(57.29577951308232)      # np.degrees multiplier
+    # forward authalic projection for the candidate bbox (margin +-2
+    # absorbs any float discrepancy with the kernel's densified bbox)
+    def fwd_y(latcol: str) -> str:
+        phi = f"({latcol} * {rad})"
+        beta = (
+            f"({phi} + {d(R._A2)} * sin({d(2.0)} * {phi})"
+            f" + {d(R._A4)} * sin({d(4.0)} * {phi})"
+            f" + {d(R._A6)} * sin({d(6.0)} * {phi}))"
+        )
+        return f"({d(3.0 * R._PI / 8.0)} * sin({beta}))"
+
+    enc = G.rhp_select_sql(
+        "SELECT doc_id, clat, clon FROM ins", "clat", "clon", res, ["doc_id"]
+    )
+    beta_c = f"asin(cy / {d(3.0 * R._PI / 8.0)})"
+    lat_series = (
+        f"(__b + {d(R._B2)} * sin({d(2.0)} * __b)"
+        f" + {d(R._B4)} * sin({d(4.0)} * __b)"
+        f" + {d(R._B6)} * sin({d(6.0)} * __b))"
+    )
+    return f"""
+WITH rect AS ({_rhp_rect_corpus_sql()}),
+pb AS (SELECT doc_id, x0, y0, x1, y1,
+              (x0 * {rad}) AS qx0, (x1 * {rad}) AS qx1,
+              {fwd_y('y0')} AS qy0, {fwd_y('y1')} AS qy1
+       FROM rect),
+cx AS (SELECT doc_id, x0, y0, x1, y1, qy0, qy1,
+              unnest(generate_series(
+                cast(floor((qx0 + {d(R._PI)}) / {d(side)}) as bigint) - 2,
+                cast(floor((qx1 + {d(R._PI)}) / {d(side)}) as bigint) + 2)) AS ix
+       FROM pb),
+cxy AS (SELECT doc_id, x0, y0, x1, y1, ix,
+               unnest(generate_series(
+                 cast(floor((qy0 + {d(3.0 * R._PI / 4.0)}) / {d(side)}) as bigint) - 2,
+                 cast(floor((qy1 + {d(3.0 * R._PI / 4.0)}) / {d(side)}) as bigint) + 2)) AS iy
+        FROM cx),
+ctr0 AS (SELECT doc_id, x0, y0, x1, y1,
+                ({d(-R._PI)} + (ix + {d(0.5)}) * {d(side)}) AS cx,
+                ({d(-3.0 * R._PI / 4.0)} + (iy + {d(0.5)}) * {d(side)}) AS cy
+         FROM cxy),
+ctr AS (SELECT doc_id, x0, y0, x1, y1,
+               (cx * {deg}) AS clon,
+               ({lat_series} * {deg}) AS clat
+        FROM (SELECT doc_id, x0, y0, x1, y1, cx, cy, {beta_c} AS __b FROM ctr0) __t),
+ins AS (SELECT doc_id, clat, clon FROM ctr
+        WHERE clon > x0 AND clon < x1 AND clat > y0 AND clat < y1),
+allc AS ({enc}),
+g5 AS (SELECT doc_id, substring(cell, 1, {res}) AS pr, count(*) AS n
+       FROM allc GROUP BY 1, 2),
+m5 AS (SELECT doc_id, pr FROM g5 WHERE n = 9),
+k6 AS (SELECT a.doc_id, a.cell FROM allc a
+       LEFT JOIN m5 ON m5.doc_id = a.doc_id AND m5.pr = substring(a.cell, 1, {res})
+       WHERE m5.pr IS NULL),
+g4 AS (SELECT doc_id, substring(pr, 1, {res - 1}) AS pr, count(*) AS n
+       FROM m5 GROUP BY 1, 2),
+m4 AS (SELECT doc_id, pr FROM g4 WHERE n = 9),
+k5 AS (SELECT a.doc_id, a.pr AS cell FROM m5 a
+       LEFT JOIN m4 ON m4.doc_id = a.doc_id AND m4.pr = substring(a.pr, 1, {res - 1})
+       WHERE m4.pr IS NULL),
+g3 AS (SELECT doc_id, substring(pr, 1, {res - 2}) AS pr, count(*) AS n
+       FROM m4 GROUP BY 1, 2),
+m3 AS (SELECT doc_id, pr FROM g3 WHERE n = 9),
+k4 AS (SELECT a.doc_id, a.pr AS cell FROM m4 a
+       LEFT JOIN m3 ON m3.doc_id = a.doc_id AND m3.pr = substring(a.pr, 1, {res - 2})
+       WHERE m3.pr IS NULL),
+comp AS (SELECT doc_id, cell FROM k6
+         UNION ALL SELECT doc_id, cell FROM k5
+         UNION ALL SELECT doc_id, cell FROM k4
+         UNION ALL SELECT doc_id, pr AS cell FROM m3)
+SELECT cell AS rhp_{res:02d}, doc_id, substring(cell, 1, {p + 1}) AS rhp_{p:02d}
+FROM comp
+"""
+
+
 def _line_corpus_sql(table: str = "events", id_col: str = "event_id") -> str:
     """doc_id + 3 polyline vertices (ax,ay)-(bx,by)-(cx,cy) in degrees —
     IDENTICAL text in both dialects.  Segments are 0.05°-0.3° long with
@@ -1098,6 +1251,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
         _compaction_oracle_sql(),
     ),
     "q40_linetrace_pipeline_geohash": (_q_linetrace, _linetrace_oracle_sql()),
+    "q41_compaction_pipeline_rhp": (_q_rhp_compaction, _rhp_compaction_oracle_sql()),
 }
 
 
