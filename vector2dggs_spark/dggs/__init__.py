@@ -54,6 +54,14 @@ class Backend:
         bound (kNN termination, SURVEY.md J3)."""
         return max(r - 1, 0) * 0.8 * self.cell_width_deg(res)
 
+    def grid_annulus(self, cells, res, k, k_inner):
+        """disk(k) \\ disk(k_inner) per cell (kNN annulus expansion,
+        J3).  Generic fallback = two disks + setdiff; square-grid
+        backends override with direct frame construction."""
+        outer = self.grid_disk(cells, res, k)
+        inner = self.grid_disk(cells, res, k_inner)
+        return [np.setdiff1d(o, i) for o, i in zip(outer, inner)]
+
     def native_point_cells(self, df, lat: str, lon: str, res: int,
                            keep_cols: list[str], out: str = "cell"):
         """Pure-JVM point encode over a DataFrame, or None when this
@@ -109,6 +117,9 @@ class GeohashBackend(Backend):
 
     def grid_disk(self, cells, res, k):
         return _gh.grid_disk(cells, res, k)
+
+    def grid_annulus(self, cells, res, k, k_inner):
+        return _gh.grid_annulus(cells, res, k, k_inner)
 
     def cell_center(self, cells, res=None):
         if res is None:

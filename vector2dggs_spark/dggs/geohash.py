@@ -201,6 +201,24 @@ def grid_disk(cells, precision: int, k: int) -> np.ndarray:
     return flat.reshape(lat_n.shape)
 
 
+def grid_annulus(cells, precision: int, k: int, k_inner: int) -> list[np.ndarray]:
+    """Per-cell ragged list of disk(k) \\ disk(k_inner) neighbors,
+    constructed DIRECTLY as the Chebyshev frame ``max(|di|,|dj|) >
+    k_inner`` — no inner-disk materialization, no set-difference.  The
+    kNN annulus expansion's hot primitive (J3): at ring 32 this builds
+    3,200 cells/query instead of 4,225 + a 1,089-cell setdiff."""
+    lat_q, lon_q = decode_int(np.atleast_1d(cells), precision)
+    offs = np.arange(-k, k + 1)
+    dl, dn = np.meshgrid(offs, offs, indexing="ij")
+    keep = (np.maximum(np.abs(dl), np.abs(dn)) > k_inner).ravel()
+    dlr = dl.ravel()[keep]
+    dnr = dn.ravel()[keep]
+    lat_n = lat_q[:, None].astype(np.int64) + dlr[None, :]
+    lon_n = lon_q[:, None].astype(np.int64) + dnr[None, :]
+    flat = encode_grid(lat_n.ravel(), lon_n.ravel(), precision)
+    return list(flat.reshape(lat_n.shape))
+
+
 def polyfill(rings: list[np.ndarray], precision: int) -> np.ndarray:
     """Cells whose center lies inside the polygon (center-inside modality).
 

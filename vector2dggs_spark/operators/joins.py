@@ -17,8 +17,56 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from vector2dggs_spark.dggs import Backend
-from vector2dggs_spark.operators.udfs import grid_disk_udf, point_to_cell_udf
+from vector2dggs_spark.operators.udfs import (
+    grid_annulus_udf,
+    grid_disk_udf,
+    point_to_cell_udf,
+)
 from vector2dggs_spark.sources.documents import extract_media, tile_centers
+
+
+class _IterState:
+    """Per-round lineage truncation for iterative driver loops.
+
+    Spark logical plans have no cycle detection: an iteration whose new
+    state references the previous round's plan TWICE (here: ``pending``
+    via ``done_ids(ranked(pending))`` and directly) doubles the plan
+    tree per round — exponential analysis/string-rendering cost even
+    when every intermediate is persisted (persist caches data, not the
+    plan).  ``localCheckpoint(eager=True)`` replaces the plan with a
+    leaf over executor-stored partitions; this wrapper records exactly
+    which RDD ids each checkpoint pinned so ``release()`` can free them
+    deterministically on exit (localCheckpoint is not CacheManager-
+    managed, so ``DataFrame.unpersist`` cannot)."""
+
+    def __init__(self, spark: SparkSession):
+        self._jsc = spark.sparkContext._jsc.sc()
+        self._ids: list[int] = []
+
+    def _live(self) -> set[int]:
+        out = set()
+        it = self._jsc.getPersistentRDDs().iterator()
+        while it.hasNext():
+            out.add(it.next()._1())
+        return out
+
+    def checkpoint(self, df: DataFrame) -> DataFrame:
+        before = self._live()
+        ck = df.localCheckpoint(eager=True)
+        self._ids.extend(self._live() - before)
+        return ck
+
+    def release(self) -> None:
+        mine = set(self._ids)
+        it = self._jsc.getPersistentRDDs().iterator()
+        pairs = []
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() in mine:
+                pairs.append(kv._2())
+        for rdd in pairs:
+            rdd.unpersist(False)
+        self._ids.clear()
 
 
 # --------------------------------------------------------------------- J1
@@ -222,6 +270,7 @@ def knn(
     target_id: str = "target_id",
     max_ring: int = 64,
     metric: str = "planar",
+    annulus: bool = True,
 ) -> DataFrame:
     """Exact k-nearest-neighbors via cell-ring expansion (J3).
 
@@ -250,6 +299,15 @@ def knn(
     great-circle meters (global corpora) with the ring-termination bound
     converted per query via ``_haversine_guarantee_m``.
 
+    ``annulus`` (VERDICT r03 #5): round r > 1 joins only the NEW cells
+    ``array_except(disk(r), disk(r_prev))`` and ranks them against the
+    carried top-k from the previous round, instead of re-joining and
+    re-ranking the full disk.  Correct because a candidate beaten by k
+    closer targets can never re-enter the top-k (distances are fixed and
+    the candidate set only grows), and every cell of ``disk(R)`` is
+    scored in exactly one round by induction over the doubling chain.
+    ``annulus=False`` keeps the full re-join per round (bench control).
+
     Returns (query_id, target_id, dist_sq|dist_m, rank) with rank 1..k
     by (distance, target_id) — deterministic under ties.
     """
@@ -274,17 +332,24 @@ def knn(
         F.col("lon").alias("__tlon"),
     ).withColumn("__cell", cell_udf("__tlat", "__tlon")).cache()
 
+    state = _IterState(queries.sparkSession)
     pending = q.cache()
+    first_pending = pending
     rounds: list[DataFrame] = []
     to_unpersist: list[DataFrame] = []
     found: DataFrame | None = None
+    carry: DataFrame | None = None  # prev round's top-k for pending queries
     r = 1
+    r_prev = 0
     while r <= max_ring:
-        disk = grid_disk_udf(backend, res, r)
-        cand = (
-            pending.withColumn(
-                "__cell", F.explode(F.array_distinct(disk("__qcell")))
+        if annulus and r_prev > 0:
+            cells = F.array_distinct(
+                grid_annulus_udf(backend, res, r, r_prev)("__qcell")
             )
+        else:
+            cells = F.array_distinct(grid_disk_udf(backend, res, r)("__qcell"))
+        cand = (
+            pending.withColumn("__cell", F.explode(cells))
             .join(t, "__cell")
             .select(
                 "__qid",
@@ -295,12 +360,17 @@ def knn(
                 ).alias(dist_col),
             )
         )
+        if carry is not None:
+            cand = cand.unionByName(carry.select("__qid", "__qlat", "__tid", dist_col))
         ranked = cand.withColumn(
             "rank",
             F.row_number().over(
                 W.partitionBy("__qid").orderBy(F.col(dist_col), F.col("__tid"))
             ),
         ).where(F.col("rank") <= k)
+        # one execution of the round's join+window: both the finished rows
+        # and the carried top-k are cheap projections of this cache
+        ranked = ranked.persist()
         g_deg = backend.ring_guarantee_deg(res, r)
         stats = ranked.groupBy("__qid").agg(
             F.count("*").alias("n"),
@@ -321,11 +391,47 @@ def knn(
         rounds.append(newly_done)
         to_unpersist.append(done_ids)
         prev_pending = pending
-        pending = pending.join(done_ids, "__qid", "left_anti").cache()
-        empty = pending.isEmpty()  # reuses the cached done_ids
-        prev_pending.unpersist()
+        # localCheckpoint truncates the round's lineage: without it both
+        # `pending` and `carry` reference the previous round's plan via
+        # done_ids AND directly, doubling the logical plan per round
+        # (exponential analysis cost by ring 8; _IterState docstring).
+        # pending + carried-top-k ride ONE checkpoint (one eager job).
+        next_pending = pending.join(done_ids, "__qid", "left_anti")
+        if annulus:
+            next_carry = ranked.join(done_ids, "__qid", "left_anti")
+            both = state.checkpoint(
+                next_pending.select(
+                    F.lit("p").alias("__part"), "__qid", "__qlat", "__qlon",
+                    "__qcell", F.lit(None).cast("string").alias("__tid"),
+                    F.lit(None).cast("double").alias(dist_col),
+                ).unionByName(
+                    next_carry.select(
+                        F.lit("c").alias("__part"), "__qid", "__qlat",
+                        F.lit(None).cast("double").alias("__qlon"),
+                        F.lit(None).cast("string").alias("__qcell"),
+                        "__tid", F.col(dist_col).cast("double"),
+                    )
+                )
+            )
+            pending = both.where(F.col("__part") == "p").select(
+                "__qid", "__qlat", "__qlon", "__qcell"
+            )
+            carry = both.where(F.col("__part") == "c").select(
+                "__qid", "__qlat", "__tid", dist_col
+            )
+        else:
+            both = None
+            pending = state.checkpoint(next_pending)
+            carry = None
+        empty = pending.isEmpty()
+        if empty:
+            carry = None
+        ranked.unpersist()
+        if prev_pending is first_pending:
+            prev_pending.unpersist()
         if empty:
             break
+        r_prev = r
         r *= 2
     if rounds:
         found = rounds[0]
@@ -373,6 +479,9 @@ def knn(
         df.unpersist()
     pending.unpersist()
     t.unpersist()
+    # free every localCheckpoint pinned by the loop (found is fully
+    # materialized above, so nothing re-reads them)
+    state.release()
     return found.select(
         F.col("__qid").alias(query_id),
         F.col("__tid").alias(target_id),

@@ -34,6 +34,29 @@ def grid_disk_udf(backend: Backend, res: int, k: int):
     return _udf
 
 
+def grid_annulus_udf(backend: Backend, res: int, k: int, k_inner: int):
+    """cell string -> array<string> of disk(k) \\ disk(k_inner) — the kNN
+    annulus expansion's NEW cells, in ONE vectorized UDF call (square
+    grids build the Chebyshev frame directly; others fall back to two
+    disks + setdiff — Backend.grid_annulus).  May contain duplicates at
+    pole clips: callers apply array_distinct, like the disk path."""
+
+    @F.pandas_udf("array<string>")
+    def _udf(cells: pd.Series) -> pd.Series:
+        if cells.empty:
+            return pd.Series([], dtype=object)
+        arr = cells.to_numpy(dtype=str)
+        if hasattr(backend, "grid_annulus"):
+            ann = backend.grid_annulus(arr, res, k, k_inner)
+        else:  # duck-typed backends without the hook (h3/s2/a5)
+            outer = backend.grid_disk(arr, res, k)
+            inner = backend.grid_disk(arr, res, k_inner)
+            ann = [np.setdiff1d(o, i) for o, i in zip(outer, inner)]
+        return pd.Series([list(a) for a in ann])
+
+    return _udf
+
+
 def cell_center_udf(backend: Backend, res: int):
     """cell string -> struct<lat double, lon double> of the cell center."""
 
