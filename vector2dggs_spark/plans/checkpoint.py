@@ -189,6 +189,7 @@ def repair_partition(
 class CheckpointedRun:
     cells: DataFrame
     manifests: dict
+    spans: DataFrame | None = None  # keep_spans="exploded" companion
 
 
 def index_checkpointed(
@@ -334,7 +335,13 @@ def index_checkpointed(
         out = out.withColumn(parent_col, backend.parent_expr(F.col(cell_col), resolution, parent_res))
         out = stage_checkpoint(out, checkpoint_dir, "compacted", fp)
 
-    if index_kwargs.get("keep_spans"):
+    spans_df = None
+    keep_spans = index_kwargs.get("keep_spans")
+    if keep_spans == "exploded":
+        from vector2dggs_spark.operators.spans import explode_spans
+
+        spans_df = explode_spans(docs)
+    elif keep_spans:
         # keep-attributes analog — joined AFTER the checkpointed stages so
         # the materialized cell table stays narrow (pipeline.index parity)
         out = out.join(docs, "doc_id", "left")
@@ -346,4 +353,5 @@ def index_checkpointed(
             for s in ("prepare", "cells", "compacted")
             if read_manifest(checkpoint_dir, s)
         },
+        spans=spans_df,
     )

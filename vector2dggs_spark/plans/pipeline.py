@@ -39,6 +39,10 @@ class IndexResult:
     parent_res: int
     cell_col: str
     parent_col: str
+    # keep_spans="exploded": flat (doc_id, span_idx, kind, text,
+    # media_ref, offset) companion — payload stays out of the cell join
+    # and scans of it are column-pruned (operators/spans.py)
+    spans: DataFrame | None = None
 
 
 def check_resolutions(backend: Backend, resolution: int, parent_res: int) -> None:
@@ -61,7 +65,7 @@ def index(
     resolution: int = 6,
     parent_res: int | None = None,
     compact: bool = False,
-    keep_spans: bool = False,
+    keep_spans: bool | str = False,
     cut_threshold_deg2: float | None = None,
     spatial_sort: str = "geohash",
     partitions: int | None = None,
@@ -77,6 +81,10 @@ def index(
     the reference's area-table default G2); 0 disables bisection (`-c 0`).
     ``spatial_sort``: 'geohash' | 'morton' | 'hilbert' | 'none' (O1 —
     the reference's --spatial_sorting choices).
+    ``keep_spans``: True joins the full payload onto every cell row
+    (reference keep-attributes); "exploded" instead returns a flat
+    column-prunable companion on ``IndexResult.spans`` (scale path —
+    operators/spans.py).
     ``source_crs``: EPSG code of the span WKT coordinates (reprojected
     to 4326 during prepare — reference G1/G5).  ``cut_crs`` +
     ``cut_threshold_units2``: run katana in a projected CRS with the
@@ -229,12 +237,22 @@ def index(
         # valid — but lengths differ for prefix backends, so re-derive.
         out = out.withColumn(parent_col, backend.parent_expr(F.col(cell_col), resolution, parent_res))
 
-    if keep_spans:
+    spans_df = None
+    if keep_spans == "exploded":
+        # scale path for wide-media corpora: the payload never enters
+        # the cell join; consumers join/scan the flat companion with
+        # real column pruning (operators/spans.py)
+        from vector2dggs_spark.operators.spans import explode_spans
+
+        spans_df = explode_spans(docs)
+    elif keep_spans:
         # keep-attributes analog (reference common.py:629-631): every
         # (cell, doc) row carries the document's full span sequence.
         out = out.join(docs, "doc_id", "left")
 
-    return IndexResult(out, backend, resolution, parent_res, cell_col, parent_col)
+    return IndexResult(
+        out, backend, resolution, parent_res, cell_col, parent_col, spans_df
+    )
 
 
 AUTO_SINGLE_FILE_ROW_CAP = 20_000_000  # per-parent rows above which one
