@@ -195,3 +195,27 @@ def test_sql_formulation_matches_numpy_kernel(spark):
         got = {r["id"]: r["cell"] for r in spark.sql(sql).collect()}
         mismatch = [i for i in range(len(expected)) if got[i] != expected[i]]
         assert not mismatch, f"level {level}: {mismatch[:5]}"
+
+
+def test_published_spatial_anchor_note():
+    """VERDICT r03 #8 disposition: no external spatial token anchors.
+
+    The ask was to bake in worked (lat, lng) -> token examples from the
+    public s2geometry documentation as ground truth for the Hilbert
+    orientation.  The public docs and papers describe the construction
+    (face numbering, ij->Hilbert position tables, token = hex id with
+    trailing zeros stripped) but none of the worked examples we could
+    recall pair a PRECISE lat/lng with a PRECISE token at a stated
+    level; inventing one would fabricate ground truth and defeat the
+    purpose.  What IS pinned externally: the id bit LAYOUT
+    (test_bit_layout_anchor_vectors — hand-derived from the published
+    spec), face selection, level/parent algebra, and the q31/q37
+    cross-formulation SQL oracles.  The residual unverifiable claim is
+    only which Hilbert position maps to which (i, j) sub-square — a
+    global orientation choice that cancels out of every within-engine
+    join.  This test exists so the gap stays visible and deliberate.
+    """
+    # the one token fact stated directly by the published spec: face
+    # cells are tokens '1', '3', '5', '7', '9', 'b' (id = (face<<61)|2^60)
+    # — already asserted spatially in test_face_cell_tokens above
+    assert S.to_token(S.latlng_to_cell([0.0], [0.0], 0))[0] == "1"
