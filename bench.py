@@ -159,30 +159,11 @@ def run_bench(spark, sf_dir: str) -> dict:
         ).count(),
     )
 
-    # 4a. sparse kNN forcing ring >= 4 (targets thinned 50x, res 7 cells):
-    # the regime the annulus expansion exists for — round r joins only
-    # disk(r) \ disk(r/2) + carried top-k instead of re-joining and
-    # re-ranking the full disk (VERDICT r03 #5).  The full-disk control
-    # is measured beside it, same shape as skew_join plain/salted.
-    # (interleaved median-of-5 at sf0.01, 1000 queries vs 200 targets,
-    # res 7: annulus 32.3s vs full-disk 35.4s — consistent ~9% in the
-    # deep-ring regime; the bench pair below is the lean smoke version)
-    sparse_t = pts.where(F.col("point_id") % 100 == 0).withColumnRenamed(
-        "point_id", "target_id"
-    )
-    sparse_q = pts.where(F.col("point_id") < 100).withColumnRenamed(
-        "point_id", "query_id"
-    )
-
-    def _knn_sparse(ann):
-        return knn(
-            sparse_q, sparse_t, get_backend("geohash"), res=7, k=5,
-            annulus=ann,
-        ).count()
-
-    _knn_sparse(True)  # warm
-    timed("knn_sparse_annulus", lambda: _knn_sparse(True))
-    timed("knn_sparse_fulldisk", lambda: _knn_sparse(False))
+    # (Sparse multi-round kNN annulus-vs-fulldisk comparison lives in
+    # scripts/knn_annulus_bench.py — interleaved median-of-5 at sf0.01:
+    # annulus 32.3s vs full-disk 35.4s plus deterministic scored-
+    # candidate counts; it runs ~30s per mode, too heavy for this smoke
+    # suite, and single runs on this host are noise-dominated.)
 
     # 4b. hot-cell skew in the regime salting is FOR: one cell holds 90%
     # of the left side, the right side is too big to broadcast, and the

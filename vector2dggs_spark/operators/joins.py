@@ -334,6 +334,9 @@ def knn(
 
     state = _IterState(queries.sparkSession)
     pending = q.cache()
+    n_pending = pending.count()  # materializes the cache; the running
+    # count lets each round detect completion from the (already cached)
+    # done_ids instead of eagerly materializing next-round state
     first_pending = pending
     rounds: list[DataFrame] = []
     to_unpersist: list[DataFrame] = []
@@ -390,6 +393,16 @@ def knn(
         newly_done.count()  # materialize this round's results exactly once
         rounds.append(newly_done)
         to_unpersist.append(done_ids)
+        n_done = done_ids.count()  # cached (materialized by newly_done)
+        empty = n_done == n_pending
+        if empty:
+            # every query finished this round: skip the next-state
+            # checkpoint entirely (the common all-done-in-ring-1 case
+            # pays zero iteration overhead)
+            ranked.unpersist()
+            carry = None
+            break
+        n_pending -= n_done
         prev_pending = pending
         # localCheckpoint truncates the round's lineage: without it both
         # `pending` and `carry` reference the previous round's plan via
@@ -423,14 +436,9 @@ def knn(
             both = None
             pending = state.checkpoint(next_pending)
             carry = None
-        empty = pending.isEmpty()
-        if empty:
-            carry = None
         ranked.unpersist()
         if prev_pending is first_pending:
             prev_pending.unpersist()
-        if empty:
-            break
         r_prev = r
         r *= 2
     if rounds:
