@@ -1207,6 +1207,52 @@ allc AS ({enc})
 """ + _FINAL_SELECT.format(src="allc")
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q42 — near-dup CLUSTER identification: connected components of
+    the q12 MinHash-LSH pair graph via the distributed large-star/
+    small-star operator (``operators/cc.py``), joined back onto the full
+    document universe (singletons = their own cluster) with cluster
+    sizes.  The operation a dedup pipeline actually needs beyond pairs:
+    chains (A~B~C with A!~C) collapse into one cluster."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vector2dggs_spark.operators.cc import connected_components
+
+    load_views(spark, sf_dir)
+    pairs = spark.sql(_minhash_sql("spark"))
+    comp = connected_components(pairs)
+    docs = spark.sql("SELECT doc_id FROM documents")
+    out = (
+        docs.join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+    )
+    return out
+
+
+_CC_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_minhash_sql("duckdb")}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+cc AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.v, cc.lbl FROM cc JOIN edges e ON e.u = cc.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY node)
+SELECT doc_id, cluster_id,
+       cast(count(*) OVER (PARTITION BY cluster_id) as bigint) AS cluster_size
+FROM comp
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q01_pricing_summary": Q01,
     "q02_top_orders_per_customer": Q02,
@@ -1252,6 +1298,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     ),
     "q40_linetrace_pipeline_geohash": (_q_linetrace, _linetrace_oracle_sql()),
     "q41_compaction_pipeline_rhp": (_q_rhp_compaction, _rhp_compaction_oracle_sql()),
+    "q42_dedup_clusters": (_q_dedup_clusters, _CC_ORACLE),
 }
 
 

@@ -1,0 +1,135 @@
+"""Distributed connected components — near-dup CLUSTER identification.
+
+A training-data pipeline rarely stops at candidate pairs (q12): the
+operation it runs is "group documents into near-duplicate clusters and
+keep one per cluster / stratify by cluster size".  Pair lists don't give
+that directly — clusters are the connected components of the pair
+graph, and chains (A~B, B~C, but A!~C) make per-pair logic wrong.
+
+This module implements the alternating **large-star / small-star**
+algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+"Connected Components in MapReduce and Beyond", SoCC 2014 — published
+construction), the standard O(log n)-round formulation for massive
+graphs:
+
+* large-star (centered at every node u over its symmetric neighborhood
+  Γ(u), m = min(Γ(u) ∪ {u})): emit (v, m) for every neighbor v > u;
+* small-star (centered at u over its smaller neighbors, m = min of
+  them): emit (v, m) for those neighbors plus (u, m).
+
+Each round is two groupBy-join passes over the edge list — no driver
+data, no per-row Python — and converges to star graphs whose centers
+are the component minima.  Per-round state is localCheckpointed
+(plans/iteration.IterState): the edge list of round r+1 references
+round r's plan through both the min-aggregation and the join, so
+without truncation the logical plan doubles per round (same defect the
+kNN loop had — VERDICT r03 #5 follow-through).
+
+Determinism: component id = min node id in the component, so output is
+a pure function of the input pair set — which is what lets q42 pin this
+operator hash-exact against a DuckDB recursive-CTE oracle.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector2dggs_spark.plans.iteration import IterState
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    """Symmetric closure of an edge list, self-loops dropped, distinct."""
+    e = e.where(F.col("u") != F.col("v"))
+    return e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+
+
+def _signature(e: DataFrame) -> tuple:
+    """Order-independent fingerprint of an edge set (count + hash sum of
+    canonicalized pairs) — one tiny aggregate per round; equality across
+    rounds ⇒ fixpoint (the state is a deterministic function of the
+    edge set, so a hash collision is the only false-positive source)."""
+    row = (
+        e.where(F.col("u") < F.col("v"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold (order-independent, overflow-free under ANSI;
+            # sum(xxhash64) overflows long)
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        )
+        .collect()[0]
+    )
+    return (row["n"], row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(src, dst) undirected pair list -> (node, component) where
+    ``component`` is the minimum node id of the connected component.
+
+    Only nodes that appear in at least one pair are returned (callers
+    union their singleton universe; q42 does).  ``max_iter`` bounds the
+    large/small-star alternation — convergence needs O(log n) rounds, so
+    30 covers any conceivable graph; hitting the bound raises rather
+    than returning a wrong (unconverged) clustering.
+    """
+    spark = pairs.sparkSession
+    st = IterState(spark)
+    e = _sym(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    e = st.checkpoint(e)
+    try:
+        sig = _signature(e)
+        for _ in range(max_iter):
+            # ---- large-star
+            mins = (
+                e.groupBy("u")
+                .agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", "u").alias("m"))
+            )
+            large = (
+                e.join(mins, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+            e = st.checkpoint(_sym(large))
+            # ---- small-star (centers = larger endpoints)
+            d = e.where(F.col("u") > F.col("v"))
+            mins2 = d.groupBy("u").agg(F.min("v").alias("m"))
+            joined = d.join(mins2, "u")
+            small = (
+                joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionByName(joined.select("u", F.col("m").alias("v")))
+            )
+            e = st.checkpoint(_sym(small))
+            new_sig = _signature(e)
+            if new_sig == sig:
+                break
+            sig = new_sig
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+        # fixpoint = union of stars: every non-root's smaller neighbors
+        # all equal its component min; roots appear only on the v side
+        comp = (
+            e.where(F.col("u") > F.col("v"))
+            .groupBy("u")
+            .agg(F.min("v").alias("component"))
+            .select(F.col("u").alias("node"), "component")
+        )
+        roots = (
+            e.select("u").distinct()  # symmetric: u covers every node
+            .join(comp, F.col("u") == F.col("node"), "left_anti")
+            .select(F.col("u").alias("node"), F.col("u").alias("component"))
+        )
+        # lazy projections of the FINAL checkpointed edge set — release
+        # every intermediate round's blocks, keep the converged one
+        # pinned (one O(nodes) edge list) so the result stays computable
+        return comp.unionByName(roots)
+    finally:
+        st.release(keep_last=1)

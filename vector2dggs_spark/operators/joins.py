@@ -22,51 +22,8 @@ from vector2dggs_spark.operators.udfs import (
     grid_disk_udf,
     point_to_cell_udf,
 )
+from vector2dggs_spark.plans.iteration import IterState as _IterState
 from vector2dggs_spark.sources.documents import extract_media, tile_centers
-
-
-class _IterState:
-    """Per-round lineage truncation for iterative driver loops.
-
-    Spark logical plans have no cycle detection: an iteration whose new
-    state references the previous round's plan TWICE (here: ``pending``
-    via ``done_ids(ranked(pending))`` and directly) doubles the plan
-    tree per round — exponential analysis/string-rendering cost even
-    when every intermediate is persisted (persist caches data, not the
-    plan).  ``localCheckpoint(eager=True)`` replaces the plan with a
-    leaf over executor-stored partitions; this wrapper records exactly
-    which RDD ids each checkpoint pinned so ``release()`` can free them
-    deterministically on exit (localCheckpoint is not CacheManager-
-    managed, so ``DataFrame.unpersist`` cannot)."""
-
-    def __init__(self, spark: SparkSession):
-        self._jsc = spark.sparkContext._jsc.sc()
-        self._ids: list[int] = []
-
-    def _live(self) -> set[int]:
-        out = set()
-        it = self._jsc.getPersistentRDDs().iterator()
-        while it.hasNext():
-            out.add(it.next()._1())
-        return out
-
-    def checkpoint(self, df: DataFrame) -> DataFrame:
-        before = self._live()
-        ck = df.localCheckpoint(eager=True)
-        self._ids.extend(self._live() - before)
-        return ck
-
-    def release(self) -> None:
-        mine = set(self._ids)
-        it = self._jsc.getPersistentRDDs().iterator()
-        pairs = []
-        while it.hasNext():
-            kv = it.next()
-            if kv._1() in mine:
-                pairs.append(kv._2())
-        for rdd in pairs:
-            rdd.unpersist(False)
-        self._ids.clear()
 
 
 # --------------------------------------------------------------------- J1
