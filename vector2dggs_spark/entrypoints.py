@@ -1253,6 +1253,51 @@ FROM comp
 """
 
 
+def _bm25_sql(dialect: str) -> str:
+    """q43 — BM25 retrieval scoring over the documents corpus (k1=1.2,
+    b=0.75, the standard Robertson/Sparck-Jones formulation): the
+    quality-/retrieval-scoring op a training-data pipeline uses to rank
+    corpus documents against a query.  Pure native SQL in both engines;
+    zero-tf terms contribute exactly 0 through the shared formula (no
+    CASE), corpus stats (N, avgdl, df per term) come from one
+    broadcastable stats row, and the float expression tree is
+    textually identical so ranks reproduce bit-for-bit."""
+    terms = ("spark", "scan", "window")
+    k1, b = G.dlit(1.2), G.dlit(0.75)
+    h = G.dlit(0.5)
+    one = G.dlit(1.0)
+    if dialect == "spark":
+        tf = lambda t: f"cast(size(filter(toks, x -> x = '{t}')) as double)"  # noqa: E731
+    else:
+        tf = lambda t: f"cast(len(list_filter(toks, x -> x = '{t}')) as double)"  # noqa: E731
+    tf_cols = ", ".join(f"{tf(t)} AS tf{i}" for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"cast(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) as double) AS df{i}"
+        for i in range(len(terms))
+    )
+    idf = lambda i: f"ln(((n - df{i} + {h}) / (df{i} + {h})) + {one})"  # noqa: E731
+    contrib = lambda i: (  # noqa: E731
+        f"({idf(i)} * (tf{i} * ({k1} + {one}))"
+        f" / (tf{i} + {k1} * ({one} - {b} + {b} * dl / avgdl)))"
+    )
+    score = f"(({contrib(0)} + {contrib(1)}) + {contrib(2)})"
+    return f"""
+WITH tk AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+d AS (SELECT doc_id, cast({'size' if dialect == 'spark' else 'len'}(toks) as double) AS dl,
+             {tf_cols}
+      FROM tk),
+st AS (SELECT cast(count(*) as double) AS n, avg(dl) AS avgdl, {df_cols} FROM d),
+sc AS (SELECT doc_id, {score} AS s FROM d CROSS JOIN st),
+r AS (SELECT doc_id, s,
+             cast(row_number() OVER (ORDER BY s DESC, doc_id) as int) AS rnk
+      FROM sc)
+SELECT doc_id, round(s, 6) AS bm25, rnk FROM r WHERE rnk <= 20
+"""
+
+
+Q43 = _dialects(_bm25_sql("spark"), _bm25_sql("duckdb"))
+
+
 QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q01_pricing_summary": Q01,
     "q02_top_orders_per_customer": Q02,
@@ -1299,6 +1344,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q40_linetrace_pipeline_geohash": (_q_linetrace, _linetrace_oracle_sql()),
     "q41_compaction_pipeline_rhp": (_q_rhp_compaction, _rhp_compaction_oracle_sql()),
     "q42_dedup_clusters": (_q_dedup_clusters, _CC_ORACLE),
+    "q43_bm25_topk": Q43,
 }
 
 
