@@ -1,0 +1,69 @@
+"""Adaptive mixed-level region covers (RegionCoverer analog)."""
+import numpy as np
+import pytest
+
+from vector2dggs_spark.dggs import get_backend
+from vector2dggs_spark.operators.cover import adaptive_cover
+
+POLY = np.array([
+    [-176.6, -44.4], [-175.4, -44.2], [-175.2, -43.4],
+    [-176.0, -43.0], [-176.8, -43.6], [-176.6, -44.4],
+])
+
+
+@pytest.mark.parametrize("dggs,fine_res", [
+    ("geohash", 6), ("rhp", 6), ("s2", 12), ("h3", 7), ("a5", 10),
+])
+def test_cover_is_superset_within_budget(dggs, fine_res):
+    """Every center-inside polyfill cell at a finer resolution has an
+    ancestor in the cover, and the cover respects max_cells."""
+    b = get_backend(dggs)
+    cov = adaptive_cover(b, [POLY], max_cells=64)
+    assert 0 < len(cov) <= 64
+    levels = sorted({b.get_resolution(str(c)) for c in cov})
+    covset = set(cov.tolist())
+    fine = np.asarray(b.polyfill([POLY], fine_res), dtype=str)
+    assert len(fine)
+    for c in fine:
+        assert any(
+            b.parent(np.array([c]), lv)[0] in covset
+            for lv in levels
+            if lv <= fine_res
+        ), (dggs, c)
+
+
+def test_cover_mixed_levels_and_budget_scaling():
+    """A bigger budget refines the boundary finer (strictly more cells,
+    deeper max level) while interior stays coarse (mixed levels)."""
+    b = get_backend("s2")
+    small = adaptive_cover(b, [POLY], max_cells=16)
+    big = adaptive_cover(b, [POLY], max_cells=128)
+    assert len(small) <= 16 and len(big) <= 128
+    assert len(big) > len(small)
+    lv_small = {b.get_resolution(str(c)) for c in small}
+    lv_big = {b.get_resolution(str(c)) for c in big}
+    assert max(lv_big) >= max(lv_small)
+    assert len(lv_big) > 1  # genuinely mixed-resolution
+
+
+def test_cover_deterministic():
+    b = get_backend("geohash")
+    a = adaptive_cover(b, [POLY], max_cells=64)
+    c = adaptive_cover(b, [POLY], max_cells=64)
+    assert a.tolist() == c.tolist()
+
+
+def test_cover_tiny_polygon_single_cellish():
+    """A polygon much smaller than one cell still gets a valid cover."""
+    tiny = np.array([
+        [-176.600, -44.400], [-176.599, -44.400],
+        [-176.599, -44.399], [-176.600, -44.399], [-176.600, -44.400],
+    ])
+    b = get_backend("geohash")
+    cov = adaptive_cover(b, [tiny], max_cells=8)
+    assert 1 <= len(cov) <= 8
+    fine = np.asarray(b.polyfill([tiny], 8), dtype=str)
+    levels = sorted({b.get_resolution(str(c)) for c in cov})
+    covset = set(cov.tolist())
+    for c in fine:
+        assert any(b.parent(np.array([c]), lv)[0] in covset for lv in levels if lv <= 8)

@@ -1298,6 +1298,42 @@ SELECT doc_id, round(s, 6) AS bm25, rnk FROM r WHERE rnk <= 20
 Q43 = _dialects(_bm25_sql("spark"), _bm25_sql("duckdb"))
 
 
+def _q_adaptive_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q44 — mixed-level adaptive region covers (RegionCoverer analog,
+    ``operators/cover.py``) over a SQL-derived rect corpus, distributed
+    via mapInPandas (one cover per feature, vectorized numpy inside).
+    Rows-only contract entry: the cover construction (priority-queue
+    refinement with a cell budget) is not SQL-expressible; correctness
+    is pinned by the per-backend superset/budget property suite
+    (tests/test_cover.py)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from vector2dggs_spark.dggs import get_backend
+    from vector2dggs_spark.operators.cover import adaptive_cover
+
+    load_views(spark, sf_dir)
+    corpus = spark.sql(_rhp_rect_corpus_sql()).where(
+        F.expr("substring(doc_id, 2) % 20 = 0")
+    )
+    backend = get_backend("geohash")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                ring = np.array(
+                    [[r.x0, r.y0], [r.x1, r.y0], [r.x1, r.y1],
+                     [r.x0, r.y1], [r.x0, r.y0]]
+                )
+                for cell in adaptive_cover(backend, [ring], max_cells=32):
+                    rows.append((r.doc_id, str(cell), len(str(cell))))
+            yield pd.DataFrame(rows, columns=["doc_id", "cell", "level"])
+
+    return corpus.mapInPandas(gen, "doc_id string, cell string, level int")
+
+
 QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q01_pricing_summary": Q01,
     "q02_top_orders_per_customer": Q02,
@@ -1345,6 +1381,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q41_compaction_pipeline_rhp": (_q_rhp_compaction, _rhp_compaction_oracle_sql()),
     "q42_dedup_clusters": (_q_dedup_clusters, _CC_ORACLE),
     "q43_bm25_topk": Q43,
+    "q44_adaptive_cover": (_q_adaptive_cover, None),
 }
 
 

@@ -1,0 +1,157 @@
+"""Mixed-level adaptive region covers — the S2RegionCoverer analog,
+backend-generic (SURVEY §2 residual noted in VERDICT r02/r03: the
+reference's fixed-resolution polyfill has no adaptive-cover companion;
+s2geometry's RegionCoverer is the published construction this follows).
+
+``adaptive_cover(backend, rings, max_cells)`` returns a SUPERSET cover
+of the polygon as at most ``max_cells`` cells of MIXED resolutions:
+coarse cells where the polygon is fat, fine cells along the boundary.
+Use cases: broadcast pre-filters (J2 ``broadcast_compact_join`` accepts
+mixed-res cell sets), cheap containment pre-tests, spatial partition
+pruning hints.
+
+Construction (top-down refinement, the RegionCoverer shape):
+
+* seed with the coarsest tessellation level whose padded-bbox fill is a
+  handful of cells (padding by ``pad_factor`` cell widths makes the
+  center-inside polyfill of the padded bbox a superset of every cell
+  that intersects the true bbox);
+* classify each cell conservatively — FULL (entirely inside: all bbox
+  corners inside and no polygon vertex inside the cell) goes to the
+  cover, PARTIAL (bbox overlap + corner-inside / vertex-in-cell /
+  edge-bbox overlap) refines to its children, disjoint cells drop;
+* stop refining when the budget would be exceeded or ``max_res`` is
+  reached; remaining partial cells join the cover as-is.
+
+Every classification error is in the conservative direction (a
+non-intersecting cell may be kept, never the reverse), so the covering
+property — every polyfill cell of the region at any finer resolution
+has an ancestor in the cover — holds by construction and is
+property-tested per backend.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from vector2dggs_spark.geometry.kernels import points_in_polygon
+
+
+def _classify(backend, cells: np.ndarray, res: int, rings, bbox):
+    """-> (full_mask, partial_mask) — conservative, vectorized."""
+    outer = rings[0]
+    bx0, by0, bx1, by1 = bbox
+    lat_lo, lon_lo, lat_hi, lon_hi = backend.cell_bbox(cells, res)
+    lat_lo = np.atleast_1d(lat_lo)
+    lon_lo = np.atleast_1d(lon_lo)
+    lat_hi = np.atleast_1d(lat_hi)
+    lon_hi = np.atleast_1d(lon_hi)
+    overlap = (lon_hi >= bx0) & (lon_lo <= bx1) & (lat_hi >= by0) & (lat_lo <= by1)
+
+    # cell-bbox corners + center inside the polygon
+    n = len(cells)
+    cx = np.stack([lon_lo, lon_hi, lon_hi, lon_lo, (lon_lo + lon_hi) / 2.0])
+    cy = np.stack([lat_lo, lat_lo, lat_hi, lat_hi, (lat_lo + lat_hi) / 2.0])
+    inside = points_in_polygon(cx.ravel(), cy.ravel(), rings).reshape(5, n)
+    all_in = inside.all(axis=0)
+    any_in = inside.any(axis=0)
+
+    # any polygon vertex inside the cell bbox
+    vx, vy = outer[:, 0], outer[:, 1]
+    v_in = (
+        (vx[None, :] >= lon_lo[:, None])
+        & (vx[None, :] <= lon_hi[:, None])
+        & (vy[None, :] >= lat_lo[:, None])
+        & (vy[None, :] <= lat_hi[:, None])
+    ).any(axis=1)
+
+    # any polygon edge's bbox overlapping the cell bbox (conservative
+    # stand-in for exact segment/box intersection)
+    ex0 = np.minimum(vx[:-1], vx[1:])
+    ex1 = np.maximum(vx[:-1], vx[1:])
+    ey0 = np.minimum(vy[:-1], vy[1:])
+    ey1 = np.maximum(vy[:-1], vy[1:])
+    e_hit = (
+        (ex0[None, :] <= lon_hi[:, None])
+        & (ex1[None, :] >= lon_lo[:, None])
+        & (ey0[None, :] <= lat_hi[:, None])
+        & (ey1[None, :] >= lat_lo[:, None])
+    ).any(axis=1)
+
+    touch = overlap & (any_in | v_in | e_hit)
+    full = all_in & ~v_in & ~e_hit
+    partial = touch & ~full
+    return full, partial
+
+
+def adaptive_cover(
+    backend,
+    rings,
+    max_cells: int = 64,
+    max_res: int | None = None,
+    pad_factor: float = 2.0,
+) -> np.ndarray:
+    """Polygon rings ([(m, 2) lon/lat closed], outer first) -> sorted
+    array of mixed-resolution cell ids covering the polygon."""
+    if max_cells < 1:
+        raise ValueError("max_cells must be >= 1")
+    outer = np.asarray(rings[0], dtype=np.float64)
+    bx0, by0 = outer[:, 0].min(), outer[:, 1].min()
+    bx1, by1 = outer[:, 0].max(), outer[:, 1].max()
+    bbox = (bx0, by0, bx1, by1)
+    if max_res is None:
+        max_res = backend.max_res
+
+    # seed level: coarsest res whose cells are no wider than the bbox —
+    # the center-inside fill of the padded bbox then reliably catches
+    # every cell intersecting the true bbox (at coarser levels cell
+    # centers can all fall outside the region entirely)
+    extent = max(bx1 - bx0, by1 - by0, 1e-9)
+    res = backend.min_res
+    while res < max_res and backend.cell_width_deg(res) > extent:
+        res += 1
+
+    def _seed(r: int):
+        pad = pad_factor * backend.cell_width_deg(r)
+        x0, x1 = max(bx0 - pad, -180.0), min(bx1 + pad, 180.0)
+        y0, y1 = max(by0 - pad, -90.0), min(by1 + pad, 90.0)
+        rect = np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+        )
+        return np.unique(np.asarray(backend.polyfill([rect], r), dtype=str))
+
+    # back off to coarser levels while even the TOUCHING seed cells
+    # exceed the budget (tiny-budget / fine-extent combinations)
+    while True:
+        seeds = _seed(res)
+        if len(seeds):
+            full, partial = _classify(backend, seeds, res, rings, bbox)
+        else:
+            full = partial = np.zeros(0, dtype=bool)
+        if int(full.sum() + partial.sum()) <= max_cells or res <= backend.min_res:
+            break
+        res -= 1
+    cover: list[str] = []
+    import heapq
+
+    queue: list[tuple[int, str]] = []  # (res, cell) — coarsest first
+    if len(seeds):
+        cover.extend(seeds[full].tolist())
+        for c in seeds[partial]:
+            heapq.heappush(queue, (res, str(c)))
+    # refine coarsest-first, one cell at a time, while the budget allows
+    # (the RegionCoverer shape: boundary cells end up finest)
+    while queue:
+        r, cell = queue[0]
+        if r >= max_res:
+            break
+        kids = np.asarray(backend.children_at_res(cell, r + 1), dtype=str)
+        full, partial = _classify(backend, kids, r + 1, rings, bbox)
+        n_new = int(full.sum()) + int(partial.sum())
+        if len(cover) + (len(queue) - 1) + n_new > max_cells:
+            break
+        heapq.heappop(queue)
+        cover.extend(kids[full].tolist())
+        for c in kids[partial]:
+            heapq.heappush(queue, (r + 1, str(c)))
+    cover.extend(c for _, c in queue)
+    return np.asarray(sorted(set(cover)), dtype=str)
