@@ -1334,6 +1334,77 @@ def _q_adaptive_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.mapInPandas(gen, "doc_id string, cell string, level int")
 
 
+def _stratified_sample_sql(dialect: str) -> str:
+    """q45 — deterministic stratified sampling by language: downsample
+    the over-represented stratum ('en' keeps 40%, others 80%) with a
+    content-independent md5 hash bucket, the standard reproducible-split
+    primitive of a training-data pipeline (no rand(): retries, engines
+    and re-runs all agree).  Emits the kept docs with their bucket and
+    per-stratum kept/total counts."""
+    if dialect == "spark":
+        bucket = "cast(conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10) % 100 as int)"
+    else:
+        bucket = "cast(('0x' || substring(md5(cast(doc_id as varchar)), 1, 12))::BIGINT % 100 as int)"
+    return f"""
+WITH h AS (SELECT doc_id, lang, {bucket} AS bucket FROM documents),
+kept AS (SELECT doc_id, lang, bucket FROM h
+         WHERE bucket < (CASE WHEN lang = 'en' THEN 40 ELSE 80 END)),
+stats AS (SELECT h.lang,
+                 cast(count(*) as bigint) AS stratum_total,
+                 cast(sum(CASE WHEN bucket < (CASE WHEN h.lang = 'en' THEN 40 ELSE 80 END)
+                          THEN 1 ELSE 0 END) as bigint) AS stratum_kept
+          FROM h GROUP BY h.lang)
+SELECT k.doc_id, k.lang, k.bucket, s.stratum_kept, s.stratum_total
+FROM kept k JOIN stats s ON k.lang = s.lang
+"""
+
+
+Q45 = _dialects(_stratified_sample_sql("spark"), _stratified_sample_sql("duckdb"))
+
+
+def _unigram_lm_sql(dialect: str) -> str:
+    """q46 — unigram-LM document scoring (perplexity proxy): corpus
+    token frequencies with add-one smoothing -> per-doc mean log
+    probability, the classic cheap quality signal for corpus filtering.
+    Token probabilities and the sequential left-fold over each doc's
+    tokens are identical double arithmetic in both engines."""
+    if dialect == "spark":
+        body = """
+WITH tk AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, t.tok FROM tk
+        LATERAL VIEW explode(toks) t AS tok),
+"""
+    else:
+        body = """
+WITH tk AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+"""
+    # per-doc sum via fixed-point DECIMAL: float sums are not
+    # order-associative and groupBy partial-aggregation order differs
+    # between engines; a decimal sum of 9-dp-rounded log-probs is exact
+    # and order-independent, cast to double once at the end
+    return body + """
+cnt AS (SELECT tok, cast(count(*) as double) AS c FROM tok GROUP BY tok),
+tot AS (SELECT cast(count(*) as double) AS n,
+               cast(count(DISTINCT tok) as double) AS v FROM tok),
+lp AS (SELECT tok,
+              cast(round(ln((c + cast(1.0 as double)) / (n + v)), 9)
+                   as decimal(18, 9)) AS logp
+       FROM cnt CROSS JOIN tot),
+doc AS (SELECT t.doc_id,
+               sum(lp.logp) AS s,
+               cast(count(*) as double) AS len
+        FROM tok t JOIN lp ON t.tok = lp.tok
+        GROUP BY t.doc_id)
+SELECT doc_id, round(cast(s as double) / len, 6) AS mean_logp,
+       cast(len as bigint) AS n_tokens
+FROM doc
+"""
+
+
+Q46 = _dialects(_unigram_lm_sql("spark"), _unigram_lm_sql("duckdb"))
+
+
 QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q01_pricing_summary": Q01,
     "q02_top_orders_per_customer": Q02,
@@ -1382,6 +1453,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q42_dedup_clusters": (_q_dedup_clusters, _CC_ORACLE),
     "q43_bm25_topk": Q43,
     "q44_adaptive_cover": (_q_adaptive_cover, None),
+    "q45_stratified_sample": Q45,
+    "q46_unigram_lm_score": Q46,
 }
 
 
