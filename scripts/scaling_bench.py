@@ -31,6 +31,7 @@ N_DOCS = int(os.environ.get("SCALING_DOCS", "64000000"))
 # several-second CPU-bound regime
 N_TEXT = int(os.environ.get("SCALING_TEXT_DOCS", "600000"))
 N_VECS = int(os.environ.get("SCALING_VECS", "1000000"))
+N_EDGES = int(os.environ.get("SCALING_EDGES", "1000000"))
 
 WORKER = r"""
 import json, os, sys, time
@@ -122,6 +123,21 @@ def job_d(n):
             .repartition(64).write.mode("overwrite").parquet(vec_path)
     return near_dup_lsh(spark.read.parquet(vec_path), bands=8, bits=24).count()
 
+def job_e(n):
+    # connected components over a synthetic 50-chain / 1000-node-cluster
+    # graph (operators/cc.py — the q42 operator at scale): chains give
+    # nontrivial diameter (log-round alternation exercised), cluster
+    # hubs bound component size so the answer is checkable
+    from vector2dggs_spark.operators.cc import connected_components
+    edges = spark.range(n).selectExpr(
+        "format_string('n%09d', id) AS doc_a",
+        "CASE WHEN id % 50 = 0 THEN format_string('n%09d', id - (id % 1000)) "
+        "ELSE format_string('n%09d', id - 1) END AS doc_b")
+    comp = connected_components(edges)
+    n_comp = comp.select("component").distinct().count()
+    assert n_comp == n // 1000, n_comp
+    return n_comp
+
 if job == "A":
     t = median_of(lambda: job_a(n_points), 3)
     print("RESULT" + json.dumps({"cpus": cpus, "job": "A", "t": t, "rows": n_points}))
@@ -133,6 +149,10 @@ elif job == "D":
     n = int(os.environ.get("SCALING_VECS", "1000000"))
     t = median_of(lambda: job_d(n), 3)
     print("RESULT" + json.dumps({"cpus": cpus, "job": "D", "t": t, "rows": n}))
+elif job == "E":
+    n = int(os.environ.get("SCALING_EDGES", "1000000"))
+    t = median_of(lambda: job_e(n), 3)
+    print("RESULT" + json.dumps({"cpus": cpus, "job": "E", "t": t, "rows": n}))
 else:
     # job B input: identical parquet for every parallelism level
     docs_path = f"/tmp/v2dggs_scaling/docs_native_{n_docs}.parquet"
@@ -195,14 +215,15 @@ def machine_ceiling() -> float:
     return measure(32) / measure(8)
 
 
-JOB_ROWS = {"A": N_POINTS, "B": N_DOCS, "C": N_TEXT, "D": N_VECS}
+JOB_ROWS = {"A": N_POINTS, "B": N_DOCS, "C": N_TEXT, "D": N_VECS, "E": N_EDGES}
 JOB_DESC = {
     "A": f"A. native point index (geohash r9, {N_POINTS:,} pts, WholeStageCodegen)",
     "B": f"B. point-documents pipeline ({N_DOCS:,} interleaved docs, r9, Arrow-UDF path)",
     "C": f"C. MinHash-LSH near-dup (q12 plan, {N_TEXT:,} synthetic text docs, native SQL)",
     "D": f"D. hyperplane-LSH embedding near-dup (q32 Arrow path, {N_VECS:,} 64-dim vectors, 8x24-bit bands)",
+    "E": f"E. connected components (large/small-star, {N_EDGES:,} edges, 1000-node planted clusters)",
 }
-JOB_UNIT = {"A": "pts/s", "B": "cells/s", "C": "docs/s", "D": "vecs/s"}
+JOB_UNIT = {"A": "pts/s", "B": "cells/s", "C": "docs/s", "D": "vecs/s", "E": "edges/s"}
 
 
 def main():

