@@ -135,7 +135,7 @@ def job_e(n):
         "ELSE format_string('n%09d', id - 1) END AS doc_b")
     comp = connected_components(edges)
     n_comp = comp.select("component").distinct().count()
-    assert n_comp == n // 1000, n_comp
+    assert n_comp == -(-n // 1000), n_comp  # ceil: last block may be partial
     return n_comp
 
 if job == "A":

@@ -407,3 +407,63 @@ def test_streaming_lsh_dedup_incremental_state(spark, tmp_path):
     # second replay of the same batch is a no-op (marker short-circuit)
     proc(b3, 2)
     assert {r["doc_id"] for r in spark.read.parquet(out_dir).collect()} == got2
+
+
+def test_streaming_lsh_dedup_crash_replay_with_pruning(spark, tmp_path):
+    """Code-review r04: a crash between the (pruning) state write and
+    the marker write must replay to the SAME kept set even when the
+    crash batch's horizon pruning removed winners the kept decision
+    depended on.  The cutoff is fixed before any state interaction and
+    applied at state READ time, so first application and replay see the
+    identical winner set."""
+    import datetime as dt
+
+    from vector2dggs_spark.streaming.lsh_dedup import LshDedupProcessor
+
+    out_a = str(tmp_path / "out_a")
+    out_b = str(tmp_path / "out_b")
+    st_a = str(tmp_path / "st_a")
+    st_b = str(tmp_path / "st_b")
+    schema = "doc_id string, text string, event_time timestamp"
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+
+    def df(specs):
+        return spark.createDataFrame(
+            [(d, t, t0 + dt.timedelta(hours=h)) for d, t, h in specs], schema
+        )
+
+    b1 = df([("w", base, 0)])                       # winner at T0
+    # batch 2 arrives 3h later (horizon 2h): w is OUT of horizon, so its
+    # buckets must NOT drop d — and the decision must be identical
+    # whether or not the batch is replayed after a crash
+    b2 = df([("d", base + " extra", 3)])
+
+    class Crash(Exception):
+        pass
+
+    class CrashingProc(LshDedupProcessor):
+        def _write_marker(self, batch_id, hi):
+            raise Crash()
+
+    # run A: no crash
+    pa = LshDedupProcessor(out_a, st_a, horizon="2 hours", n_state_buckets=8)
+    pa(b1, 0)
+    pa(b2, 1)
+    kept_a = {r["doc_id"] for r in spark.read.parquet(out_a).collect()}
+
+    # run B: batch 1 crashes after state write, replays; then batch 2
+    # crashes after state write (pruning w), replays
+    pb = LshDedupProcessor(out_b, st_b, horizon="2 hours", n_state_buckets=8)
+    cb = CrashingProc(out_b, st_b, horizon="2 hours", n_state_buckets=8)
+    with pytest.raises(Crash):
+        cb(b1, 0)
+    pb(b1, 0)
+    with pytest.raises(Crash):
+        cb(b2, 1)
+    pb(b2, 1)
+    kept_b = {r["doc_id"] for r in spark.read.parquet(out_b).collect()}
+
+    assert kept_a == kept_b == {"w", "d"}  # out-of-horizon winner ignored
+    rows = spark.read.parquet(out_b).groupBy("doc_id").count().collect()
+    assert all(r["count"] == 1 for r in rows)

@@ -206,8 +206,17 @@ def grid_annulus(cells, precision: int, k: int, k_inner: int) -> list[np.ndarray
     constructed DIRECTLY as the Chebyshev frame ``max(|di|,|dj|) >
     k_inner`` — no inner-disk materialization, no set-difference.  The
     kNN annulus expansion's hot primitive (J3): at ring 32 this builds
-    3,200 cells/query instead of 4,225 + a 1,089-cell setdiff."""
+    3,200 cells/query instead of 4,225 + a 1,089-cell setdiff.
+
+    Pole/antimeridian exactness: ``encode_grid`` clips latitude and
+    wraps longitude, so a frame offset can land on a cell whose TRUE
+    grid distance is <= k_inner (a clipped frame cell re-entering the
+    inner disk would make the kNN loop re-score a carried candidate —
+    duplicate top-k rows).  The frame is therefore re-filtered on the
+    post-clip/post-wrap effective indices."""
     lat_q, lon_q = decode_int(np.atleast_1d(cells), precision)
+    lon_bits, lat_bits = _nbits(precision)
+    nx, ny = 1 << lon_bits, 1 << lat_bits
     offs = np.arange(-k, k + 1)
     dl, dn = np.meshgrid(offs, offs, indexing="ij")
     keep = (np.maximum(np.abs(dl), np.abs(dn)) > k_inner).ravel()
@@ -215,8 +224,15 @@ def grid_annulus(cells, precision: int, k: int, k_inner: int) -> list[np.ndarray
     dnr = dn.ravel()[keep]
     lat_n = lat_q[:, None].astype(np.int64) + dlr[None, :]
     lon_n = lon_q[:, None].astype(np.int64) + dnr[None, :]
-    flat = encode_grid(lat_n.ravel(), lon_n.ravel(), precision)
-    return list(flat.reshape(lat_n.shape))
+    # effective indices after the encode's clip (lat) / wrap (lon)
+    lat_e = np.clip(lat_n, 0, ny - 1)
+    lon_e = np.mod(lon_n, nx)
+    d_lat = np.abs(lat_e - lat_q[:, None].astype(np.int64))
+    d_raw = np.abs(lon_e - lon_q[:, None].astype(np.int64))
+    d_lon = np.minimum(d_raw, nx - d_raw)
+    ok = np.maximum(d_lat, d_lon) > k_inner
+    flat = encode_grid(lat_n.ravel(), lon_n.ravel(), precision).reshape(lat_n.shape)
+    return [np.unique(flat[i][ok[i]]) for i in range(flat.shape[0])]
 
 
 def polyfill(rings: list[np.ndarray], precision: int) -> np.ndarray:

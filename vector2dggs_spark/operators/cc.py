@@ -73,7 +73,9 @@ def connected_components(
     ``component`` is the minimum node id of the connected component.
 
     Only nodes that appear in at least one pair are returned (callers
-    union their singleton universe; q42 does).  ``max_iter`` bounds the
+    union their singleton universe; q42 does).  The result is persisted
+    and materialized — the caller owns releasing it via ``.unpersist()``
+    when done.  ``max_iter`` bounds the
     large/small-star alternation — convergence needs O(log n) rounds, so
     30 covers any conceivable graph; hitting the bound raises rather
     than returning a wrong (unconverged) clustering.
@@ -135,9 +137,12 @@ def connected_components(
             .join(comp, F.col("u") == F.col("node"), "left_anti")
             .select(F.col("u").alias("node"), F.col("u").alias("component"))
         )
-        # lazy projections of the FINAL checkpointed edge set — release
-        # every intermediate round's blocks, keep the converged one
-        # pinned (one O(nodes) edge list) so the result stays computable
-        return comp.unionByName(roots)
+        # materialize the (node, component) result into the CacheManager
+        # (caller-releasable via .unpersist()), then free EVERY pinned
+        # checkpoint — repeated calls in one session must not accumulate
+        # converged edge lists in executor storage
+        out = comp.unionByName(roots).persist()
+        out.count()
+        return out
     finally:
-        st.release(keep_last=1)
+        st.release()

@@ -48,7 +48,10 @@ def grid_annulus_udf(backend: Backend, res: int, k: int, k_inner: int):
         arr = cells.to_numpy(dtype=str)
         if hasattr(backend, "grid_annulus"):
             ann = backend.grid_annulus(arr, res, k, k_inner)
-        else:  # duck-typed backends without the hook (h3/s2/a5)
+        else:
+            # NOT dead code: h3/s2/a5 backends are duck-typed (they do
+            # not subclass Backend) and lack the grid_annulus hook
+            # (exercised by q17's h3 kNN when rings go past 1)
             outer = backend.grid_disk(arr, res, k)
             inner = backend.grid_disk(arr, res, k_inner)
             ann = [np.setdiff1d(o, i) for o, i in zip(outer, inner)]

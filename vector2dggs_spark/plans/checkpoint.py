@@ -227,22 +227,12 @@ def index_checkpointed(
             f"index_checkpointed: unsupported options {sorted(unknown)} "
             f"(supported: {sorted(known)})"
         )
+    from vector2dggs_spark.plans.pipeline import resolve_backend
+
     dggs = index_kwargs.get("dggs", "geohash")
     resolution = index_kwargs.get("resolution", 6)
-    backend = get_backend(dggs)
     linetrace_mode = index_kwargs.get("linetrace_mode")
-    if linetrace_mode is not None:
-        import copy
-
-        if not hasattr(type(backend), "linetrace_mode"):
-            raise ValueError(
-                f"backend {dggs!r} has a single linetrace algorithm; "
-                "linetrace_mode is only configurable for geohash"
-            )
-        if linetrace_mode not in ("astar", "supercover"):
-            raise ValueError(f"unknown linetrace_mode {linetrace_mode!r}")
-        backend = copy.copy(backend)
-        backend.linetrace_mode = linetrace_mode
+    backend = resolve_backend(dggs, linetrace_mode)
     parent_res = index_kwargs.get("parent_res") or backend.default_parent_res(resolution)
     cut = index_kwargs.get("cut_threshold_deg2")
     if cut is None:

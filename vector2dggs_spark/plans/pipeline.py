@@ -45,6 +45,29 @@ class IndexResult:
     spans: DataFrame | None = None
 
 
+def resolve_backend(dggs: str, linetrace_mode: str | None = None) -> Backend:
+    """get_backend + optional per-call LineString-traversal override
+    ("astar" = reference parity, "supercover" = every crossed cell —
+    q40's oracle-exact mode); copies the instance so the registry
+    singleton (shared across concurrent pipelines) is never mutated.
+    Shared by ``index`` and ``index_checkpointed``."""
+    backend = get_backend(dggs)
+    if linetrace_mode is None:
+        return backend
+    if not hasattr(type(backend), "linetrace_mode"):
+        raise ValueError(
+            f"backend {dggs!r} has a single linetrace algorithm; "
+            "linetrace_mode is only configurable for geohash"
+        )
+    if linetrace_mode not in ("astar", "supercover"):
+        raise ValueError(f"unknown linetrace_mode {linetrace_mode!r}")
+    import copy
+
+    backend = copy.copy(backend)
+    backend.linetrace_mode = linetrace_mode
+    return backend
+
+
 def check_resolutions(backend: Backend, resolution: int, parent_res: int) -> None:
     """reference common.py:62-66."""
     if not (backend.min_res <= resolution <= backend.max_res):
@@ -91,23 +114,7 @@ def index(
     threshold in CRS units² (reference ``--cut_crs``; defaults to the
     backend threshold converted to m² when only ``cut_crs`` is given).
     """
-    backend = get_backend(dggs)
-    if linetrace_mode is not None:
-        # per-call override of the LineString traversal ("astar" =
-        # reference parity, "supercover" = every crossed cell — q40's
-        # oracle-exact mode); copy so the registry singleton (shared
-        # across concurrent pipelines) is never mutated
-        import copy
-
-        if not hasattr(type(backend), "linetrace_mode"):
-            raise ValueError(
-                f"backend {dggs!r} has a single linetrace algorithm; "
-                "linetrace_mode is only configurable for geohash"
-            )
-        if linetrace_mode not in ("astar", "supercover"):
-            raise ValueError(f"unknown linetrace_mode {linetrace_mode!r}")
-        backend = copy.copy(backend)
-        backend.linetrace_mode = linetrace_mode
+    backend = resolve_backend(dggs, linetrace_mode)
     if parent_res is None:
         parent_res = backend.default_parent_res(resolution)
     check_resolutions(backend, resolution, parent_res)

@@ -186,11 +186,15 @@ def _file_bounds(spark, output: str) -> dict[str, tuple[float, float, float, flo
 
 
 def _local_path(uri: str) -> str:
+    """``input_file_name()`` URI -> executor-local filesystem path
+    (URL-decoding %-escapes — paths with spaces etc. arrive encoded)."""
+    from urllib.parse import unquote
+
     if uri.startswith("file:"):
         uri = uri[5:]
         while uri.startswith("//"):
             uri = uri[1:]
-    return uri
+    return unquote(uri)
 
 
 def _geo_json(mode: str, bbox) -> bytes:

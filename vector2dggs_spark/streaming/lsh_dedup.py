@@ -152,6 +152,17 @@ class LshDedupProcessor:
         marker = self._marker()
         if marker.get("batch_id") == batch_id:
             return  # replay of a fully-applied batch
+        # the horizon cutoff is fixed BEFORE any state interaction, from
+        # the batch's own max event time and the marker's running max —
+        # both identical on a post-crash replay — and applied at state
+        # READ time.  Deciding kept-ness against the unpruned state and
+        # pruning afterwards (the round-3 shape) made a replay after a
+        # crash-between-writes see a different winner set than the first
+        # application; it also means stale rows a skipped-empty dynamic
+        # overwrite leaves on disk are simply ignored.
+        bhi = batch_df.agg(F.max("event_time").alias("m")).collect()[0]["m"]
+        prev = marker.get("max_event_time")
+        hi = max(filter(None, [bhi, None if prev is None else _ts(prev)]), default=None)
         bands = band_rows(batch_df).withColumn(
             "pbh",
             F.pmod(F.xxhash64("band", "bv"), F.lit(self.n_state_buckets)),
@@ -165,10 +176,15 @@ class LshDedupProcessor:
         )
         if have_state and touched:
             # partition-pruned read: only the state buckets this batch
-            # can collide with are scanned
+            # can collide with are scanned, only in-horizon winners count
             state = sp.read.parquet(self.winners_path).where(
                 F.col("pbh").isin(touched)
             )
+            if hi is not None:
+                state = state.where(
+                    F.col("w.event_time")
+                    >= F.expr(f"timestamp'{hi}' - {self.horizon_expr}")
+                )
             all_rows = batch_rows.unionByName(
                 state.select(
                     "pbh", "band", "bv", F.col("w.doc_id"), F.col("w.event_time")
@@ -200,13 +216,11 @@ class LshDedupProcessor:
             os.path.join(self.output_dir, f"batch={batch_id}")
         )
 
-        # horizon-prune the rewritten partitions (bounded like a
-        # watermark: buckets older than max(event_time) - horizon can no
-        # longer collide with in-horizon data we would keep); the
-        # running max survives replays via the marker
-        bhi = winners.agg(F.max("w.event_time").alias("m")).collect()[0]["m"]
-        prev = marker.get("max_event_time")
-        hi = max(filter(None, [bhi, None if prev is None else _ts(prev)]), default=None)
+        # horizon-prune the rewritten partitions with the SAME cutoff
+        # the state read used (bounded like a watermark: buckets older
+        # than max(event_time) - horizon can no longer collide with
+        # in-horizon data we would keep); the running max survives
+        # replays via the marker
         pruned = (
             winners.where(
                 F.col("w.event_time") >= F.expr(f"timestamp'{hi}' - {self.horizon_expr}")
