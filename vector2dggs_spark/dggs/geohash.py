@@ -215,6 +215,8 @@ def grid_annulus(cells, precision: int, k: int, k_inner: int) -> list[np.ndarray
     duplicate top-k rows).  The frame is therefore re-filtered on the
     post-clip/post-wrap effective indices."""
     lat_q, lon_q = decode_int(np.atleast_1d(cells), precision)
+    lat_q = lat_q.astype(np.int64)  # uint64 + int64 broadcasting would
+    lon_q = lon_q.astype(np.int64)  # silently promote to float64
     lon_bits, lat_bits = _nbits(precision)
     nx, ny = 1 << lon_bits, 1 << lat_bits
     offs = np.arange(-k, k + 1)
@@ -222,13 +224,13 @@ def grid_annulus(cells, precision: int, k: int, k_inner: int) -> list[np.ndarray
     keep = (np.maximum(np.abs(dl), np.abs(dn)) > k_inner).ravel()
     dlr = dl.ravel()[keep]
     dnr = dn.ravel()[keep]
-    lat_n = lat_q[:, None].astype(np.int64) + dlr[None, :]
-    lon_n = lon_q[:, None].astype(np.int64) + dnr[None, :]
+    lat_n = lat_q[:, None] + dlr[None, :]
+    lon_n = lon_q[:, None] + dnr[None, :]
     # effective indices after the encode's clip (lat) / wrap (lon)
     lat_e = np.clip(lat_n, 0, ny - 1)
     lon_e = np.mod(lon_n, nx)
-    d_lat = np.abs(lat_e - lat_q[:, None].astype(np.int64))
-    d_raw = np.abs(lon_e - lon_q[:, None].astype(np.int64))
+    d_lat = np.abs(lat_e - lat_q[:, None])
+    d_raw = np.abs(lon_e - lon_q[:, None])
     d_lon = np.minimum(d_raw, nx - d_raw)
     ok = np.maximum(d_lat, d_lon) > k_inner
     flat = encode_grid(lat_n.ravel(), lon_n.ravel(), precision).reshape(lat_n.shape)
