@@ -46,6 +46,40 @@ def test_cover_mixed_levels_and_budget_scaling():
     assert len(lv_big) > 1  # genuinely mixed-resolution
 
 
+def test_cover_superset_with_nonconvex_hole():
+    """ADVICE r04 (medium): vertex/edge classification must include
+    hole rings.  A thin strip of material jutting into a large hole
+    crosses cells whose 5 sample points (corners + center) all land in
+    the hole; with outer-ring-only tests those cells were dropped at
+    classification and every fine cell inside the strip lost its only
+    ancestor — breaking the documented superset invariant."""
+    outer = np.array(
+        [[0.0, 0.0], [8.0, 0.0], [8.0, 8.0], [0.0, 8.0], [0.0, 0.0]]
+    )
+    # hole = (1,1)-(7,7) square MINUS a 0.1-deg-wide strip of material
+    # x in [3.95, 4.05], y in [3, 7] hanging down from the top material
+    hole = np.array(
+        [[1.0, 1.0], [7.0, 1.0], [7.0, 7.0], [4.05, 7.0], [4.05, 3.0],
+         [3.95, 3.0], [3.95, 7.0], [1.0, 7.0], [1.0, 1.0]]
+    )
+    b = get_backend("geohash")
+    cov = adaptive_cover(b, [outer, hole], max_cells=256, max_res=4)
+    covset = set(cov.tolist())
+    levels = sorted({b.get_resolution(str(c)) for c in cov})
+    fine = np.asarray(b.polyfill([outer, hole], 4), dtype=str)
+    lat_lo, lon_lo, lat_hi, lon_hi = b.cell_bbox(fine, 4)
+    cx = (np.atleast_1d(lon_lo) + np.atleast_1d(lon_hi)) / 2.0
+    cy = (np.atleast_1d(lat_lo) + np.atleast_1d(lat_hi)) / 2.0
+    strip = fine[(cx > 3.9) & (cx < 4.1) & (cy > 3.0) & (cy < 7.0)]
+    assert len(strip)  # the notch really contains fine material cells
+    for c in strip:
+        assert any(
+            b.parent(np.array([c]), lv)[0] in covset
+            for lv in levels
+            if lv <= 4
+        ), c
+
+
 def test_cover_deterministic():
     b = get_backend("geohash")
     a = adaptive_cover(b, [POLY], max_cells=64)

@@ -114,6 +114,18 @@ def test_dedup_candidate_plans_are_equi_joins(spark, name):
     assert "CartesianProduct" not in plan, f"{name}: cartesian plan"
 
 
+def test_cluster_size_is_not_a_window_over_cluster_id(spark):
+    """VERDICT r04 #2: cluster sizes must come from a map-side-combinable
+    groupBy joined back, never ``count(*) OVER (PARTITION BY
+    cluster_id)`` — a mega-cluster (boilerplate component) would
+    otherwise materialize in a single window task at corpus scale."""
+    fn, _ = QUERIES["q42_dedup_clusters"]
+    plan = _executed_plan(fn(spark, SF_DIR))
+    for line in plan.splitlines():
+        assert not ("Window" in line and "cluster_id" in line), line
+    assert "HashAggregate" in plan  # sizes via partial-aggregating groupBy
+
+
 def test_lsh_near_dup_subset_and_recall_vs_brute_force(spark):
     """q26 (banded) ⊆ q20 (brute force) with pinned fixture recall: the
     exact-cosine post-filter guarantees no false positives; banding loses

@@ -168,6 +168,77 @@ def test_footer_splice_is_footer_only(tmp_path):
     assert pq.ParquetFile(path).metadata.metadata[b"geo"] == b'{"v": 2}'
 
 
+def test_local_path_rejects_remote_schemes():
+    """ADVICE r04: a remote-scheme output (hdfs/s3a/…) must fail fast on
+    the driver with the real reason, not as an opaque executor
+    FileNotFoundError inside the foreach."""
+    from vector2dggs_spark.sources.sinks import _local_path
+
+    assert _local_path("file:///tmp/a%20b.parquet") == "/tmp/a b.parquet"
+    assert _local_path("/tmp/x.parquet") == "/tmp/x.parquet"
+    with pytest.raises(ValueError, match="locally-mounted"):
+        _local_path("hdfs://nn:8020/warehouse/part-0.parquet")
+    with pytest.raises(ValueError, match="'s3a'"):
+        _local_path("s3a://bucket/key/part-0.parquet")
+
+
+def test_footer_splice_retry_heals_crashed_write(tmp_path):
+    """ADVICE r04: a task kill mid-rewrite leaves the in-place footer
+    region corrupt; the retry must find the fsync'd sidecar, restore the
+    original tail exactly, and complete the splice — instead of dying on
+    the corrupt trailer."""
+    import struct as _struct
+
+    import pyarrow as pa
+
+    from vector2dggs_spark.sources.parquet_footer import rewrite_footer_metadata
+
+    path = str(tmp_path / "f.parquet")
+    t = pa.table({"a": list(range(200))})
+    pq.write_table(t, path)
+    before = open(path, "rb").read()
+    size = len(before)
+    footer_len = _struct.unpack("<I", before[-8:-4])[0]
+    data_end = size - 8 - footer_len
+
+    # simulate the crash point: sidecar written (original size + old
+    # footer + old trailer), then the footer region half-overwritten
+    # with garbage and the file truncated mid-write
+    with open(path + ".footer.bak", "wb") as b:
+        b.write(_struct.pack("<Q", size))
+        b.write(before[data_end:size - 8])
+        b.write(before[-8:])
+    with open(path, "r+b") as f:
+        f.seek(data_end)
+        f.write(b"\x99" * (footer_len // 2))
+        f.truncate(data_end + footer_len // 2)
+    with pytest.raises(Exception):
+        pq.read_table(path)  # really corrupt without recovery
+
+    rewrite_footer_metadata(path, {b"geo": b'{"v": 9}'})
+    assert not os.path.exists(path + ".footer.bak")
+    after = open(path, "rb").read()
+    assert after[:data_end] == before[:data_end]
+    assert pq.ParquetFile(path).metadata.metadata[b"geo"] == b'{"v": 9}'
+    assert pq.read_table(path).column("a").to_pylist() == list(range(200))
+
+
+def test_footer_splice_no_stale_sidecar_after_success(tmp_path):
+    """Successful splices must not leave sidecars behind (a stale one
+    would roll back a LATER splice's result on the next call)."""
+    import pyarrow as pa
+
+    from vector2dggs_spark.sources.parquet_footer import rewrite_footer_metadata
+
+    path = str(tmp_path / "g.parquet")
+    pq.write_table(pa.table({"a": [1, 2, 3]}), path)
+    rewrite_footer_metadata(path, {b"geo": b'{"v": 1}'})
+    assert not os.path.exists(path + ".footer.bak")
+    rewrite_footer_metadata(path, {b"k2": b"x"})
+    md = pq.ParquetFile(path).metadata.metadata
+    assert md[b"geo"] == b'{"v": 1}' and md[b"k2"] == b"x"
+
+
 def test_attach_geo_runs_off_driver(spark, result, tmp_path, monkeypatch):
     """VERDICT r03 #1: the geo post-pass must not read data files on the
     driver.  Poison pq.read_table/write_table in the driver process (the

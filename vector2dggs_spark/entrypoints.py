@@ -1213,8 +1213,14 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-star operator (``operators/cc.py``), joined back onto the full
     document universe (singletons = their own cluster) with cluster
     sizes.  The operation a dedup pipeline actually needs beyond pairs:
-    chains (A~B~C with A!~C) collapse into one cluster."""
-    from pyspark.sql import Window
+    chains (A~B~C with A!~C) collapse into one cluster.
+
+    Cluster sizes come from ``groupBy(cluster_id).count()`` joined back
+    — map-side-combinable, so a mega-cluster (the boilerplate/template
+    component every corpus-scale near-dup graph has) costs one combined
+    row per map task, never a single-task window materialization of all
+    its members (VERDICT r04 #2: ``count(*) OVER (PARTITION BY
+    cluster_id)`` was the one skew-prone spot left in the projection)."""
     from pyspark.sql import functions as F
 
     from vector2dggs_spark.operators.cc import connected_components
@@ -1223,18 +1229,16 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = spark.sql(_minhash_sql("spark"))
     comp = connected_components(pairs)
     docs = spark.sql("SELECT doc_id FROM documents")
-    out = (
-        docs.join(comp, docs["doc_id"] == comp["node"], "left")
-        .select(
-            "doc_id",
-            F.coalesce("component", "doc_id").alias("cluster_id"),
-        )
-        .withColumn(
-            "cluster_size",
-            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
-        )
+    labeled = docs.join(comp, docs["doc_id"] == comp["node"], "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("cluster_id"),
     )
-    return out
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
 
 
 _CC_ORACLE = f"""

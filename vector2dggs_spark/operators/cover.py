@@ -37,8 +37,16 @@ from vector2dggs_spark.geometry.kernels import points_in_polygon
 
 
 def _classify(backend, cells: np.ndarray, res: int, rings, bbox):
-    """-> (full_mask, partial_mask) — conservative, vectorized."""
-    outer = rings[0]
+    """-> (full_mask, partial_mask) — conservative, vectorized.
+
+    Vertex-in-cell and edge-bbox tests run over ALL rings (holes
+    included), matching the even-odd ``points_in_polygon`` sampling:
+    with outer-ring-only tests, a cell sitting inside a non-convex hole
+    with all 5 sample points in the hole but still overlapping polygon
+    material along the hole boundary would be dropped, breaking the
+    superset invariant (ADVICE r04).  A hole edge through a cell also
+    correctly demotes it from FULL to PARTIAL."""
+    rings_arr = [np.asarray(r, dtype=np.float64) for r in rings]
     bx0, by0, bx1, by1 = bbox
     lat_lo, lon_lo, lat_hi, lon_hi = backend.cell_bbox(cells, res)
     lat_lo = np.atleast_1d(lat_lo)
@@ -55,8 +63,9 @@ def _classify(backend, cells: np.ndarray, res: int, rings, bbox):
     all_in = inside.all(axis=0)
     any_in = inside.any(axis=0)
 
-    # any polygon vertex inside the cell bbox
-    vx, vy = outer[:, 0], outer[:, 1]
+    # any polygon vertex (any ring, holes included) inside the cell bbox
+    vx = np.concatenate([r[:, 0] for r in rings_arr])
+    vy = np.concatenate([r[:, 1] for r in rings_arr])
     v_in = (
         (vx[None, :] >= lon_lo[:, None])
         & (vx[None, :] <= lon_hi[:, None])
@@ -64,12 +73,13 @@ def _classify(backend, cells: np.ndarray, res: int, rings, bbox):
         & (vy[None, :] <= lat_hi[:, None])
     ).any(axis=1)
 
-    # any polygon edge's bbox overlapping the cell bbox (conservative
-    # stand-in for exact segment/box intersection)
-    ex0 = np.minimum(vx[:-1], vx[1:])
-    ex1 = np.maximum(vx[:-1], vx[1:])
-    ey0 = np.minimum(vy[:-1], vy[1:])
-    ey1 = np.maximum(vy[:-1], vy[1:])
+    # any ring edge's bbox overlapping the cell bbox (conservative
+    # stand-in for exact segment/box intersection); edges built per
+    # ring so no spurious cross-ring segments are introduced
+    ex0 = np.concatenate([np.minimum(r[:-1, 0], r[1:, 0]) for r in rings_arr])
+    ex1 = np.concatenate([np.maximum(r[:-1, 0], r[1:, 0]) for r in rings_arr])
+    ey0 = np.concatenate([np.minimum(r[:-1, 1], r[1:, 1]) for r in rings_arr])
+    ey1 = np.concatenate([np.maximum(r[:-1, 1], r[1:, 1]) for r in rings_arr])
     e_hit = (
         (ex0[None, :] <= lon_hi[:, None])
         & (ex1[None, :] >= lon_lo[:, None])
@@ -91,7 +101,14 @@ def adaptive_cover(
     pad_factor: float = 2.0,
 ) -> np.ndarray:
     """Polygon rings ([(m, 2) lon/lat closed], outer first) -> sorted
-    array of mixed-resolution cell ids covering the polygon."""
+    array of mixed-resolution cell ids covering the polygon.
+
+    The cover holds at most ``max_cells`` cells EXCEPT when even the
+    touching cells of the backend's coarsest resolution exceed the
+    budget (e.g. a hemisphere-scale polygon with a tiny budget): the
+    coarsening back-off bottoms out at ``backend.min_res`` and returns
+    that seed cover intact — truncating it would break the superset
+    invariant, which always wins over the budget (ADVICE r04)."""
     if max_cells < 1:
         raise ValueError("max_cells must be >= 1")
     outer = np.asarray(rings[0], dtype=np.float64)

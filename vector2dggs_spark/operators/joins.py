@@ -393,6 +393,11 @@ def knn(
             both = None
             pending = state.checkpoint(next_pending)
             carry = None
+        # the new checkpoint is eager, so the previous round's pinned
+        # blocks are superseded — free them NOW instead of at loop exit
+        # (ADVICE r04: blocks otherwise accumulate for the whole run;
+        # this round's `newly_done` is already persisted + counted)
+        state.release(keep_last=1)
         ranked.unpersist()
         if prev_pending is first_pending:
             prev_pending.unpersist()

@@ -30,9 +30,18 @@ class IterState:
             out.add(it.next()._1())
         return out
 
-    def checkpoint(self, df: DataFrame) -> DataFrame:
+    def checkpoint(self, df: DataFrame, eager: bool = True) -> DataFrame:
+        """``eager=False`` marks the plan for checkpointing but lets the
+        CALLER's next action materialize it — folding the checkpoint job
+        into an aggregation the loop runs anyway (e.g. the CC fixpoint
+        fingerprint) saves one job per round.  The caller must run that
+        action before the checkpointed frame is consumed twice and
+        before ``release`` frees this frame's inputs.  Tracking works
+        for lazy checkpoints because ``localCheckpoint`` registers its
+        persistence (``getPersistentRDDs``) at mark time, not at
+        materialization."""
         before = self._live()
-        ck = df.localCheckpoint(eager=True)
+        ck = df.localCheckpoint(eager=eager)
         self._groups.append(self._live() - before)
         return ck
 

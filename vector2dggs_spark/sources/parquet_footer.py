@@ -237,10 +237,41 @@ def splice_key_value(footer: bytes, pairs: dict[bytes, bytes]) -> bytes:
     return _emit_struct(rest)
 
 
+def _restore_from_sidecar(path: str, bak: str) -> None:
+    """Roll a file back to the pre-splice tail recorded in its sidecar
+    (crash recovery; see :func:`rewrite_footer_metadata`)."""
+    with open(bak, "rb") as b:
+        blob = b.read()
+    orig_size = struct.unpack("<Q", blob[:8])[0]
+    tail = blob[8:]
+    with open(path, "r+b") as f:
+        f.seek(orig_size - len(tail))
+        f.write(tail)
+        f.truncate(orig_size)
+        f.flush()
+        os.fsync(f.fileno())
+    os.remove(bak)
+
+
 def rewrite_footer_metadata(path: str, pairs: dict[bytes, bytes]) -> int:
     """In-place footer-only upsert of key/value schema metadata on a
     Parquet file.  Data pages are untouched (verified by test asserting
-    the byte prefix is identical).  Returns the new footer length."""
+    the byte prefix is identical).  Returns the new footer length.
+
+    Crash safety (ADVICE r04): the rewrite overwrites the footer region
+    in place, so a task kill mid-write would otherwise leave the file
+    unparseable with no way back.  Before touching the file the original
+    tail (old footer + length + PAR1, plus the original file size) is
+    fsync'd to a ``<path>.footer.bak`` sidecar; a retry that finds the
+    sidecar first RESTORES the original tail (the data region is never
+    written, so restoration is exact), then proceeds.  The sidecar is
+    removed only after the new tail is durably on disk — so at every
+    crash point either the original or the spliced file is recoverable,
+    at O(footer) extra I/O (a driver-side temp-copy + ``os.replace``
+    would be atomic but O(data), defeating the footer-only design)."""
+    bak = path + ".footer.bak"
+    if os.path.exists(bak):
+        _restore_from_sidecar(path, bak)
     with open(path, "r+b") as f:
         f.seek(0, os.SEEK_END)
         size = f.tell()
@@ -255,9 +286,23 @@ def rewrite_footer_metadata(path: str, pairs: dict[bytes, bytes]) -> int:
         f.seek(data_end)
         footer = f.read(footer_len)
         new_footer = splice_key_value(footer, pairs)
+        # sidecar appears ATOMICALLY (tmp + rename): a crash mid-sidecar-
+        # write must leave either no sidecar (file untouched, plain
+        # retry) or a complete one — never a partial blob a retry would
+        # "restore" from
+        with open(bak + ".tmp", "wb") as b:
+            b.write(struct.pack("<Q", size))
+            b.write(footer)
+            b.write(tail)
+            b.flush()
+            os.fsync(b.fileno())
+        os.replace(bak + ".tmp", bak)
         f.seek(data_end)
         f.write(new_footer)
         f.write(struct.pack("<I", len(new_footer)))
         f.write(b"PAR1")
         f.truncate()
+        f.flush()
+        os.fsync(f.fileno())
+    os.remove(bak)
     return len(new_footer)

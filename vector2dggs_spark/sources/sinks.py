@@ -187,13 +187,28 @@ def _file_bounds(spark, output: str) -> dict[str, tuple[float, float, float, flo
 
 def _local_path(uri: str) -> str:
     """``input_file_name()`` URI -> executor-local filesystem path
-    (URL-decoding %-escapes — paths with spaces etc. arrive encoded)."""
+    (URL-decoding %-escapes — paths with spaces etc. arrive encoded).
+
+    Only ``file:`` URIs and bare paths resolve: the footer splice runs
+    through executor-side ``open()``, which needs the output on a
+    locally-mounted (shared) filesystem.  A remote scheme (hdfs/s3a/…)
+    would otherwise surface as an opaque executor ``FileNotFoundError``
+    (ADVICE r04) — fail fast on the driver with the real reason."""
+    import re
     from urllib.parse import unquote
 
     if uri.startswith("file:"):
         uri = uri[5:]
         while uri.startswith("//"):
             uri = uri[1:]
+    elif re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", uri):
+        scheme = uri.split(":", 1)[0]
+        raise ValueError(
+            f"GeoParquet footer splice requires the output on a locally-"
+            f"mounted/shared filesystem (file: URI or bare path); got "
+            f"scheme {scheme!r} in {uri!r}. Write to a shared mount, or "
+            f"copy the files local, splice, and upload."
+        )
     return unquote(uri)
 
 
