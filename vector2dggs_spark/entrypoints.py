@@ -1090,6 +1090,175 @@ FROM comp
 """
 
 
+# --------------------------------------------- H3 polyfill oracle (q47)
+# VERDICT r04 #1: the flagship backend's flagship operation (reference
+# h3vectorindexer.py:16-18,30-33 — H3 v4 'containment: center' polygon
+# fill) finally gets an end-to-end DuckDB oracle.  Construction: the
+# rect corpus is confined to the interior of ONE icosahedron face, so
+# every res-6 cell center in play is the image of one integer lattice
+# point (I, J) of that face's hex grid.  The oracle enumerates the
+# lattice range from the forward-projected rect corners (+5-cell
+# margin; extra candidates fail the strict inside test for free, q41's
+# pattern), inverse-projects each lattice point to its center lat/lng
+# with the SAME double ops as h3core._hex2d_res0_to_geo (no face folds
+# needed — out-of-face lattice points land outside the face triangle,
+# hence outside the rect, and are filtered), keeps centers strictly
+# inside the rect, and re-encodes them through the PROVEN layered q33
+# encode SQL (any point well inside a cell encodes to that cell, so
+# meter-level center agreement is more than enough for the id while
+# the strict inside test only needs ~1e-12 agreement vs the kernel on
+# generic rect boundaries).  Parent = id bit math (q36's formula;
+# aperture-7 is not spatially nested).
+_H3PF_RES, _H3PF_PARENT, _H3PF_FACE = 6, 3, 8
+
+
+def _h3_rect_corpus_sql(table: str = "events", id_col: str = "event_id") -> str:
+    """Axis-aligned rects wholly inside icosahedron face 8 (center
+    -4.53°, -42.02° — mid-Atlantic, no pentagon base cells within the
+    window, antimeridian far away) — IDENTICAL text in both dialects.
+    Rects are 0.2-0.5° wide, centers within ±2.7° of the face center
+    (face inradius ≈ 20°, so the whole corpus is deeply interior)."""
+    lat = f"({G.dlit(-6.9)} + ({id_col} % 480) * {G.dlit(0.01)})"
+    lon = f"({G.dlit(-44.4)} + (({id_col} * 7) % 480) * {G.dlit(0.01)})"
+    w = f"({G.dlit(0.2)} + ({id_col} % 7) * {G.dlit(0.05)})"
+    h = f"({G.dlit(0.2)} + ({id_col} % 5) * {G.dlit(0.06)})"
+    return f"""
+SELECT doc_id,
+       (lon - w * {G.dlit(0.5)}) AS x0, (lat - h * {G.dlit(0.5)}) AS y0,
+       (lon + w * {G.dlit(0.5)}) AS x1, (lat + h * {G.dlit(0.5)}) AS y1
+FROM (
+  SELECT ('H' || cast({id_col} as string)) AS doc_id,
+         {lat} AS lat, {lon} AS lon, {w} AS w, {h} AS h
+  FROM {table} WHERE {id_col} % 29 = 0) __r
+"""
+
+
+def _q_h3_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q47 — REAL pipeline (H3 polygon polyfill, C1) over the
+    face-local SQL-derived rect corpus."""
+    from pyspark.sql import functions as F
+
+    from vector2dggs_spark import index
+
+    load_views(spark, sf_dir)
+    corpus = spark.sql(_h3_rect_corpus_sql())
+    s = lambda c: F.col(c).cast("string")  # noqa: E731 — Java shortest-repr
+    rect_wkt = F.concat(
+        F.lit("POLYGON (("),
+        s("x0"), F.lit(" "), s("y0"), F.lit(", "),
+        s("x1"), F.lit(" "), s("y0"), F.lit(", "),
+        s("x1"), F.lit(" "), s("y1"), F.lit(", "),
+        s("x0"), F.lit(" "), s("y1"), F.lit(", "),
+        s("x0"), F.lit(" "), s("y0"), F.lit("))"),
+    )
+    docs = corpus.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("geometry").alias("kind"),
+                rect_wkt.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    r = index(spark, docs, dggs="h3", resolution=_H3PF_RES,
+              parent_res=_H3PF_PARENT, cut_threshold_deg2=0)
+    return r.cells
+
+
+def _h3_polyfill_oracle_sql() -> str:
+    """DuckDB restatement of the H3 polyfill (module comment above)."""
+    import numpy as np
+
+    from vector2dggs_spark.dggs.h3core import tables as T
+    from vector2dggs_spark.functions.h3sql import h3_select_sql
+
+    res, pres, face = _H3PF_RES, _H3PF_PARENT, _H3PF_FACE
+    assert res % 2 == 0  # even res: no M_AP7_ROT_RADS term in theta
+    fla = float(T.FACE_CENTER_GEO[face, 0])
+    flo = float(T.FACE_CENTER_GEO[face, 1])
+    az0 = float(T.FACE_AXES_AZ[face, 0])
+    sc = float(T.M_SQRT7 ** res)
+    res0u = float(T.RES0_U_GNOMONIC)
+    d = G.dlit
+    rad, deg = d(np.pi / 180.0), d(180.0 / np.pi)
+    TWO_PI, PI = d(2 * np.pi), d(np.pi)
+    S32 = d(np.sqrt(3.0) / 2.0)
+
+    def fwd_ij(xc: str, yc: str) -> tuple[str, str]:
+        """Corner (lon=xc, lat=yc in degrees) -> fractional axial I, J
+        (the forward _geo_to_hex2d ops, face fixed)."""
+        phi = f"(({yc}) * {rad})"
+        lam = f"(({xc}) * {rad})"
+        cosr = (f"(sin({d(fla)})*sin({phi})"
+                f" + cos({d(fla)})*cos({phi})*cos({lam} - {d(flo)}))")
+        r = f"acos(least(greatest({cosr}, {d(-1.0)}), {d(1.0)}))"
+        az = (f"atan2(cos({phi})*sin({lam} - {d(flo)}),"
+              f" cos({d(fla)})*sin({phi})"
+              f" - sin({d(fla)})*cos({phi})*cos({lam} - {d(flo)}))")
+        azm = f"({az} - {TWO_PI} * floor({az} / {TWO_PI}))"
+        th = (f"(({d(az0)} - {azm})"
+              f" - {TWO_PI} * floor(({d(az0)} - {azm}) / {TWO_PI}))")
+        rr = f"((tan({r}) / {d(res0u)}) * {d(sc)})"
+        x = f"({rr} * cos({th}))"
+        y = f"({rr} * sin({th}))"
+        J = f"({y} / {S32})"
+        return f"({x} + {J} / {d(2.0)})", J
+
+    Is, Js = zip(*[fwd_ij(cx, cy) for cx, cy in
+                   (("x0", "y0"), ("x1", "y0"), ("x1", "y1"), ("x0", "y1"))])
+    imin = f"cast(floor(least({', '.join(Is)})) as bigint) - 5"
+    imax = f"cast(ceil(greatest({', '.join(Is)})) as bigint) + 5"
+    jmin = f"cast(floor(least({', '.join(Js)})) as bigint) - 5"
+    jmax = f"cast(ceil(greatest({', '.join(Js)})) as bigint) + 5"
+
+    enc = h3_select_sql("SELECT doc_id, clat, clon FROM ins", "clat", "clon",
+                        res, ["doc_id"], dialect="duckdb")
+    fill = (1 << (3 * (15 - pres))) - 1
+    pid = f"((('0x' || cell)::BIGINT | {fill}) - {(res - pres) << 52})"
+    nib = " || ".join(
+        f"substring('0123456789abcdef', cast((__p >> {4 * k}) & 15 as int) + 1, 1)"
+        for k in range(14, -1, -1)
+    )
+    lon2 = (f"({d(flo)} + atan2(sin(az)*sin(rr)*cos({d(fla)}),"
+            f" cos(rr) - sin({d(fla)})*sinlat) + {PI})")
+    return f"""
+WITH rect AS ({_h3_rect_corpus_sql()}),
+rng AS (SELECT doc_id, x0, y0, x1, y1,
+               {imin} AS imin, {imax} AS imax,
+               {jmin} AS jmin, {jmax} AS jmax
+        FROM rect),
+li AS (SELECT doc_id, x0, y0, x1, y1, jmin, jmax,
+              unnest(generate_series(imin, imax)) AS li FROM rng),
+lj AS (SELECT doc_id, x0, y0, x1, y1, li,
+              unnest(generate_series(jmin, jmax)) AS lj FROM li),
+hex AS (SELECT doc_id, x0, y0, x1, y1,
+               (cast(li as double) - cast(lj as double) / {d(2.0)}) AS hx,
+               (cast(lj as double) * {S32}) AS hy
+        FROM lj),
+pol AS (SELECT doc_id, x0, y0, x1, y1,
+               atan(sqrt(hx*hx + hy*hy) / {d(sc)} * {d(res0u)}) AS rr,
+               (({d(az0)} - atan2(hy, hx))
+                - {TWO_PI} * floor(({d(az0)} - atan2(hy, hx)) / {TWO_PI})) AS az
+        FROM hex),
+sl AS (SELECT doc_id, x0, y0, x1, y1, rr, az,
+              least(greatest(sin({d(fla)})*cos(rr)
+                             + cos({d(fla)})*sin(rr)*cos(az),
+                             {d(-1.0)}), {d(1.0)}) AS sinlat
+       FROM pol),
+ctr AS (SELECT doc_id, x0, y0, x1, y1,
+               (asin(sinlat) * {deg}) AS clat,
+               (({lon2} - {TWO_PI} * floor({lon2} / {TWO_PI}) - {PI}) * {deg}) AS clon
+        FROM sl),
+ins AS (SELECT doc_id, clat, clon FROM ctr
+        WHERE clon > x0 AND clon < x1 AND clat > y0 AND clat < y1)
+SELECT cell AS h3_{res:02d}, doc_id,
+       regexp_replace({nib}, '^0+', '') AS h3_{pres:02d}
+FROM (SELECT doc_id, cell, {pid} AS __p FROM ({enc}) __e) __f
+"""
+
+
 def _line_corpus_sql(table: str = "events", id_col: str = "event_id") -> str:
     """doc_id + 3 polyline vertices (ax,ay)-(bx,by)-(cx,cy) in degrees —
     IDENTICAL text in both dialects.  Segments are 0.05°-0.3° long with
@@ -1459,6 +1628,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q44_adaptive_cover": (_q_adaptive_cover, None),
     "q45_stratified_sample": Q45,
     "q46_unigram_lm_score": Q46,
+    "q47_polyfill_pipeline_h3": (_q_h3_polyfill, _h3_polyfill_oracle_sql()),
 }
 
 
