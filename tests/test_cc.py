@@ -42,6 +42,37 @@ def test_cc_matches_union_find_random_graphs(spark):
         assert got == _brute(pairs), trial
 
 
+def test_cc_signature_folds_into_lazy_checkpoint(spark, monkeypatch):
+    """VERDICT r04 #6: the fixpoint-signature aggregation is the action
+    that MATERIALIZES the small-star checkpoint (lazy localCheckpoint),
+    so a round runs two jobs' worth of eager work, not three.  AQE makes
+    absolute job counts unpinnable (75+ sub-jobs per run measured), so
+    this pins the mechanism: the initial and small-star checkpoints are
+    lazy (eager=False), the large-star checkpoint eager (its consumer
+    reads it twice)."""
+    from vector2dggs_spark.plans import iteration
+
+    calls = []
+    orig = iteration.IterState.checkpoint
+
+    def spy(self, df, eager=True):
+        calls.append(eager)
+        return orig(self, df, eager)
+
+    monkeypatch.setattr(iteration.IterState, "checkpoint", spy)
+    pairs = [(f"c{i:02d}", f"c{i+1:02d}") for i in range(12)]
+    df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
+    out = connected_components(df)
+    got = {r["node"]: r["component"] for r in out.collect()}
+    out.unpersist()
+    assert got == _brute(pairs)
+    assert calls[0] is False            # initial sym checkpoint: lazy
+    rest = calls[1:]
+    assert len(rest) >= 2 and len(rest) % 2 == 0
+    assert all(rest[i] is True for i in range(0, len(rest), 2))   # large
+    assert all(rest[i] is False for i in range(1, len(rest), 2))  # small
+
+
 def test_cc_chain_converges_in_log_rounds(spark):
     """A 300-node path is the worst diameter case: label propagation
     would need 300 rounds; star alternation must converge within the

@@ -46,6 +46,42 @@ def test_cover_mixed_levels_and_budget_scaling():
     assert len(lv_big) > 1  # genuinely mixed-resolution
 
 
+def test_seg_box_hit_exact():
+    """Liang-Barsky classification: crossing, containment, touch, and —
+    the case the old edge-bbox overlap test got wrong — a box inside a
+    diagonal edge's bounding rectangle but off the segment itself."""
+    from vector2dggs_spark.operators.cover import _seg_box_hit
+
+    # one diagonal segment (0,0)->(10,10)
+    sx0, sy0 = np.array([0.0]), np.array([0.0])
+    sx1, sy1 = np.array([10.0]), np.array([10.0])
+
+    def hit(lox, hix, loy, hiy):
+        return bool(
+            _seg_box_hit(
+                sx0, sy0, sx1, sy1,
+                np.array([lox]), np.array([hix]),
+                np.array([loy]), np.array([hiy]),
+            )[0, 0]
+        )
+
+    assert hit(4.0, 6.0, 4.0, 6.0)          # crosses through the box
+    assert hit(-1.0, 11.0, -1.0, 11.0)      # segment inside the box
+    assert hit(5.0, 6.0, 5.0, 5.5)          # clipped corner
+    assert not hit(7.0, 9.0, 1.0, 3.0)      # inside the edge's bounding
+    assert not hit(1.0, 3.0, 7.0, 9.0)      # rect but off the segment
+    assert hit(5.0, 7.0, 3.0, 5.0)          # corner touch (x=5,y=5)
+    assert not hit(11.0, 12.0, 11.0, 12.0)  # beyond the endpoint
+    # axis-parallel segments (p == 0 slabs)
+    v0, v1 = np.array([2.0]), np.array([2.0])
+    assert bool(_seg_box_hit(v0, np.array([1.0]), v1, np.array([8.0]),
+                             np.array([1.5]), np.array([2.5]),
+                             np.array([3.0]), np.array([4.0]))[0, 0])
+    assert not bool(_seg_box_hit(v0, np.array([1.0]), v1, np.array([8.0]),
+                                 np.array([3.0]), np.array([4.0]),
+                                 np.array([3.0]), np.array([4.0]))[0, 0])
+
+
 def test_cover_superset_with_nonconvex_hole():
     """ADVICE r04 (medium): vertex/edge classification must include
     hole rings.  A thin strip of material jutting into a large hole

@@ -168,6 +168,57 @@ def test_footer_splice_is_footer_only(tmp_path):
     assert pq.ParquetFile(path).metadata.metadata[b"geo"] == b'{"v": 2}'
 
 
+def test_geo_sink_composes_with_exploded_spans(spark, tmp_path):
+    """VERDICT r04 #8: wide-media corpora get BOTH GeoParquet output and
+    the payload-free flat companion.  write_geoparquet over a
+    keep_spans="exploded" result works unchanged (the cell table is
+    payload-free), the companion lands beside it with every cell doc
+    represented, and a media_ref-only companion scan is ReadSchema-
+    pruned to one column."""
+    docs = documents_df(spark, 100, seed=12)
+    r = index(spark, docs, dggs="geohash", resolution=5, parent_res=3,
+              keep_spans="exploded")
+    out = str(tmp_path / "geo")
+    comp = str(tmp_path / "spans")
+    write_geoparquet(r, out, mode="point")
+    r.spans.write.parquet(comp)
+
+    files = [
+        os.path.join(root, f)
+        for root, _d, fs in os.walk(out)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert files
+    geo = json.loads(pq.read_table(files[0]).schema.metadata[b"geo"])
+    assert geo["version"] == "1.1.0"
+    # the cell table carries no span payload fields
+    assert not ({"kind", "text", "media_ref"} & set(r.cells.columns))
+    # companion scan selecting one field reads ONE parquet column
+    plan = (
+        spark.read.parquet(comp)
+        .select("media_ref")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m and "media_ref" in m[0]
+    assert "text" not in m[0] and "kind" not in m[0]
+    # every cell doc joins back onto the companion
+    missing = (
+        r.cells.select("doc_id")
+        .distinct()
+        .join(
+            spark.read.parquet(comp).select("doc_id").distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        .count()
+    )
+    assert missing == 0
+
+
 def test_local_path_rejects_remote_schemes():
     """ADVICE r04: a remote-scheme output (hdfs/s3a/…) must fail fast on
     the driver with the real reason, not as an opaque executor

@@ -218,10 +218,60 @@ class RhpBackend(Backend):
         return max(r / 2.0 - 2.0, 0.0) * _rhp.cell_width_deg(res)
 
     def cell_bbox(self, cells, res):
-        # approximate planar-square bounds via center ± half width
-        lat, lon = _rhp.cell_center(cells)
-        h = self.cell_width_deg(res) / 2.0
-        return lat - h, lon - h, lat + h, lon + h
+        """CONSERVATIVE lat/lon bounds of the exact cell shape: every
+        planar edge is densified and inverse-projected (equatorial-zone
+        edges are axis-aligned in lon/lat so corners would suffice, but
+        polar-zone extremes fall mid-edge), padded by a sliver of the
+        cell width for the residual sampling gap, and pole-containing
+        cap cells extend to the pole itself.  The old center±halfwidth
+        approximation UNDER-covered (up to ~6% of the cell width at
+        mid-latitudes), which broke the adaptive-cover superset contract
+        the moment the cover's edge test became exact."""
+        import numpy as _np
+
+        cells = _np.atleast_1d(_np.asarray(cells, dtype=str))
+        face, u, v, r = _rhp.cell_to_uv(cells)
+        x0, ytop = _rhp._face_origin(face)
+        side = (_np.pi / 2.0) / (3**r)
+        cx = x0 + u * (_np.pi / 2.0)
+        cy = ytop - v * (_np.pi / 2.0)
+        K = 9
+        t = _np.linspace(-0.5, 0.5, K)
+        full = _np.full(K, 0.5)
+        lon_s, lat_s = [], []
+        for dx, dy in ((t, -full), (full, t), (t, full), (-full, t)):
+            lon, lat = _rhp.unproject(
+                cx[:, None] + dx[None, :] * side,
+                cy[:, None] + dy[None, :] * side,
+            )
+            lon_s.append(lon)
+            lat_s.append(lat)
+        lon = _np.concatenate(lon_s, axis=1)
+        lat = _np.concatenate(lat_s, axis=1)
+        pad = _np.degrees(side) * 0.02
+        lat_lo = lat.min(axis=1) - pad
+        lat_hi = lat.max(axis=1) + pad
+        lon_lo = lon.min(axis=1) - pad
+        lon_hi = lon.max(axis=1) + pad
+        # cap cells containing a pole: the interior extreme is the pole
+        for ctr, is_north in ((_rhp._NORTH_CENTER, True), (_rhp._SOUTH_CENTER, False)):
+            at_pole = (
+                (_np.abs(cx - ctr[0]) <= side / 2.0)
+                & (_np.abs(cy - ctr[1]) <= side / 2.0)
+            )
+            if at_pole.any():
+                lon_lo = _np.where(at_pole, -180.0, lon_lo)
+                lon_hi = _np.where(at_pole, 180.0, lon_hi)
+                if is_north:
+                    lat_hi = _np.where(at_pole, 90.0, lat_hi)
+                else:
+                    lat_lo = _np.where(at_pole, -90.0, lat_lo)
+        return (
+            _np.maximum(lat_lo, -90.0),
+            lon_lo,
+            _np.minimum(lat_hi, 90.0),
+            lon_hi,
+        )
 
     def cell_boundary(self, cells, res):
         """(n, 5, 2) [lon, lat] rings: planar cell-square corners

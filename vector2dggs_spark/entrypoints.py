@@ -1578,6 +1578,89 @@ FROM doc
 Q46 = _dialects(_unigram_lm_sql("spark"), _unigram_lm_sql("duckdb"))
 
 
+def _gopher_sql(dialect: str) -> str:
+    """q48 — the Gopher document-quality rules (Rae et al. 2021,
+    arXiv:2112.11446, Table A1 — the published heuristics production
+    training pipelines apply before dedup), word-level subset matching
+    this corpus' single-line documents:
+
+    * word count within [50, 100000];
+    * mean word length within [3, 10];
+    * at least 2 distinct required stop words present (the published
+      rule takes the corpus language's function words as a parameter —
+      Gopher's English list intersects this synthetic corpus' vocabulary
+      only at 'the', which would make the flag constant-0, so the list
+      here is the corpus' own high-document-frequency function words;
+      same rule shape, honest variance);
+    * characters in the most frequent word 2-gram <= 20% of the text.
+
+    All thresholds are pinned double literals; fractions are exact-int
+    numerators/denominators divided once in IEEE double (identical in
+    both engines); the top 2-gram is tie-broken (count DESC, gram ASC)
+    so the winner is deterministic.  ``keep`` is emitted as int to dodge
+    cross-engine bool dtype drift."""
+    stopw = ("the", "data", "table", "row", "join", "batch", "merge", "hash")
+    if dialect == "spark":
+        toks = "split(text, ' ')"
+        sz = "size"
+        sum_len = "aggregate(toks, 0L, (a, w) -> a + length(w))"
+        # distinct stop words PRESENT (explicit per-word contains: the
+        # engines' array-intersect dedup semantics are not identical)
+        inter = " + ".join(
+            f"(CASE WHEN array_contains(toks, '{w}') THEN 1 ELSE 0 END)"
+            for w in stopw
+        )
+        grams = ("transform(sequence(1, cast(size(toks) as int) - 1),"
+                 " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")
+        expl = "explode(grams)"
+    else:
+        toks = "string_split(text, ' ')"
+        sz = "len"
+        sum_len = "list_sum(list_transform(toks, w -> length(w)))"
+        inter = " + ".join(
+            f"(CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END)"
+            for w in stopw
+        )
+        grams = ("list_transform(generate_series(1, len(toks) - 1),"
+                 " i -> toks[i] || ' ' || toks[i + 1])")
+        expl = "unnest(grams)"
+    mean_len = "(cast(sum_len as double) / cast(n_words as double))"
+    frac = "top_bigram_char_frac"
+    return f"""
+WITH t AS (SELECT doc_id, length(text) AS n_chars_x, {toks} AS toks FROM documents),
+s AS (SELECT doc_id, n_chars_x,
+             cast({sz}(toks) as bigint) AS n_words,
+             cast({sum_len} as bigint) AS sum_len,
+             cast(({inter}) as bigint) AS stop_hits
+      FROM t),
+g AS (SELECT doc_id, {expl} AS gram
+      FROM (SELECT doc_id, {grams} AS grams FROM t WHERE {sz}(toks) >= 2) __g),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+top AS (SELECT doc_id, gram, c FROM (
+          SELECT doc_id, gram, c,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY c DESC, gram) AS rk
+          FROM gc) __r WHERE rk = 1),
+j AS (SELECT s.doc_id, s.n_words, s.sum_len, s.stop_hits,
+             (cast(coalesce(top.c * length(top.gram), 0) as double)
+              / cast(s.n_chars_x as double)) AS {frac}
+      FROM s LEFT JOIN top ON s.doc_id = top.doc_id)
+SELECT doc_id, n_words,
+       (cast(sum_len as double) / cast(n_words as double)) AS mean_word_len,
+       stop_hits, {frac},
+       cast(CASE WHEN n_words >= 50 AND n_words <= 100000
+                  AND {mean_len} >= {_D(3.0)}
+                  AND {mean_len} <= {_D(10.0)}
+                  AND stop_hits >= 2
+                  AND {frac} <= {_D(0.2)}
+             THEN 1 ELSE 0 END as int) AS keep
+FROM j
+"""
+
+
+Q48 = _dialects(_gopher_sql("spark"), _gopher_sql("duckdb"))
+
+
 QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q01_pricing_summary": Q01,
     "q02_top_orders_per_customer": Q02,
@@ -1629,6 +1712,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q45_stratified_sample": Q45,
     "q46_unigram_lm_score": Q46,
     "q47_polyfill_pipeline_h3": (_q_h3_polyfill, _h3_polyfill_oracle_sql()),
+    "q48_gopher_quality": Q48,
 }
 
 

@@ -36,16 +36,52 @@ import numpy as np
 from vector2dggs_spark.geometry.kernels import points_in_polygon
 
 
+def _seg_box_hit(sx0, sy0, sx1, sy1, lox, hix, loy, hiy):
+    """(n_box, n_seg) bool — EXACT segment/axis-box intersection
+    (vectorized Liang-Barsky clip; boundary touches count, which is the
+    conservative direction for cover classification)."""
+    dx = (sx1 - sx0)[None, :]
+    dy = (sy1 - sy0)[None, :]
+    x0 = sx0[None, :]
+    y0 = sy0[None, :]
+    shape = np.broadcast_shapes(lox[:, None].shape, x0.shape)
+    t0 = np.zeros(shape)
+    t1 = np.ones(shape)
+    ok = np.ones(shape, dtype=bool)
+    for p, q in (
+        (-dx, x0 - lox[:, None]),
+        (dx, hix[:, None] - x0),
+        (-dy, y0 - loy[:, None]),
+        (dy, hiy[:, None] - y0),
+    ):
+        pz = p == 0
+        ok &= ~(pz & (q < 0))  # parallel and fully outside this slab
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(pz, 0.0, q / np.where(pz, 1.0, p))
+        t0 = np.where(~pz & (p < 0), np.maximum(t0, r), t0)
+        t1 = np.where(~pz & (p > 0), np.minimum(t1, r), t1)
+    return ok & (t0 <= t1)
+
+
 def _classify(backend, cells: np.ndarray, res: int, rings, bbox):
     """-> (full_mask, partial_mask) — conservative, vectorized.
 
-    Vertex-in-cell and edge-bbox tests run over ALL rings (holes
-    included), matching the even-odd ``points_in_polygon`` sampling:
-    with outer-ring-only tests, a cell sitting inside a non-convex hole
-    with all 5 sample points in the hole but still overlapping polygon
+    Vertex-in-cell and edge tests run over ALL rings (holes included),
+    matching the even-odd ``points_in_polygon`` sampling: with
+    outer-ring-only tests, a cell sitting inside a non-convex hole with
+    all 5 sample points in the hole but still overlapping polygon
     material along the hole boundary would be dropped, breaking the
     superset invariant (ADVICE r04).  A hole edge through a cell also
-    correctly demotes it from FULL to PARTIAL."""
+    correctly demotes it from FULL to PARTIAL.
+
+    The edge test is an EXACT segment/cell-bbox intersection (Liang-
+    Barsky), not an edge-bbox overlap: a long diagonal edge no longer
+    marks every cell under its bounding rectangle PARTIAL, so covers
+    are tighter for the same budget.  Exactness argument for the
+    superset property: if polygon material meets a cell and no ring
+    edge crosses the cell bbox, the bbox lies wholly inside material
+    (its boundary is uncrossed), so all five samples are inside and
+    ``any_in`` keeps it."""
     rings_arr = [np.asarray(r, dtype=np.float64) for r in rings]
     bx0, by0, bx1, by1 = bbox
     lat_lo, lon_lo, lat_hi, lon_hi = backend.cell_bbox(cells, res)
@@ -73,18 +109,14 @@ def _classify(backend, cells: np.ndarray, res: int, rings, bbox):
         & (vy[None, :] <= lat_hi[:, None])
     ).any(axis=1)
 
-    # any ring edge's bbox overlapping the cell bbox (conservative
-    # stand-in for exact segment/box intersection); edges built per
-    # ring so no spurious cross-ring segments are introduced
-    ex0 = np.concatenate([np.minimum(r[:-1, 0], r[1:, 0]) for r in rings_arr])
-    ex1 = np.concatenate([np.maximum(r[:-1, 0], r[1:, 0]) for r in rings_arr])
-    ey0 = np.concatenate([np.minimum(r[:-1, 1], r[1:, 1]) for r in rings_arr])
-    ey1 = np.concatenate([np.maximum(r[:-1, 1], r[1:, 1]) for r in rings_arr])
-    e_hit = (
-        (ex0[None, :] <= lon_hi[:, None])
-        & (ex1[None, :] >= lon_lo[:, None])
-        & (ey0[None, :] <= lat_hi[:, None])
-        & (ey1[None, :] >= lat_lo[:, None])
+    # any ring edge intersecting the cell bbox — exact, per ring (no
+    # spurious cross-ring segments)
+    sx0 = np.concatenate([r[:-1, 0] for r in rings_arr])
+    sy0 = np.concatenate([r[:-1, 1] for r in rings_arr])
+    sx1 = np.concatenate([r[1:, 0] for r in rings_arr])
+    sy1 = np.concatenate([r[1:, 1] for r in rings_arr])
+    e_hit = _seg_box_hit(
+        sx0, sy0, sx1, sy1, lon_lo, lon_hi, lat_lo, lat_hi
     ).any(axis=1)
 
     touch = overlap & (any_in | v_in | e_hit)

@@ -91,6 +91,14 @@ def write_geoparquet(
     compression: str = "snappy",
     overwrite: bool = False,
 ) -> None:
+    """GeoParquet 1.1.0 sink (S7) over ``result.cells``.
+
+    Composes with ``index(keep_spans="exploded")``: the cell table this
+    writes stays payload-free while ``result.spans`` carries the flat
+    companion (write it beside the geo output and join by ``doc_id``) —
+    wide-media corpora get GeoParquet AND payload-free cell joins
+    (tested in test_geoparquet.py::test_geo_sink_composes_with_
+    exploded_spans)."""
     if mode not in ("point", "polygon"):
         raise ValueError("geo mode must be 'point' or 'polygon'")
     geom = geometry_udf(result.backend, result.resolution, mode)
