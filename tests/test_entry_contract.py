@@ -103,7 +103,8 @@ SELECT query_id, vec_id FROM (
 
 @pytest.mark.parametrize(
     "name", ["q19_simhash_pairs", "q26_embedding_near_dup_lsh", "q12_minhash_lsh_pairs",
-             "q29_ann_ivf_multiprobe", "q32_embedding_near_dup_arrow"]
+             "q29_ann_ivf_multiprobe", "q32_embedding_near_dup_arrow",
+             "q49_repeated_window_dedup"]
 )
 def test_dedup_candidate_plans_are_equi_joins(spark, name):
     """VERDICT r02 #1/#2: LSH candidate generation must never execute as

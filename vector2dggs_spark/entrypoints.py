@@ -1661,6 +1661,54 @@ FROM j
 Q48 = _dialects(_gopher_sql("spark"), _gopher_sql("duckdb"))
 
 
+def _repeated_window_sql(dialect: str, k: int = 8) -> str:
+    """q49 — exact-substring duplication signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): flag every ``k``-token window that appears
+    verbatim in MORE THAN ONE document, and score each document by its
+    duplicated-window fraction.  The paper's suffix array does not
+    distribute; the standard Spark-scale reduction is rolling-window
+    fingerprints (md5 over the joined window) + a doc-count groupBy —
+    all equi-joins and partial-aggregating groupBys, the 100-TB shape.
+    Windows, not shingle sets: unlike MinHash (q12) this is EXACT
+    verbatim-substring evidence, the signal used to clip repeated
+    boilerplate out of training text."""
+    if dialect == "spark":
+        toks = "split(text, ' ')"
+        sz = "size(toks)"
+        wins = (f"transform(sequence(1, cast(size(toks) as int) - {k - 1}),"
+                f" i -> md5(concat_ws(' ', slice(toks, i, {k}))))")
+        expl = "explode(wins)"
+    else:
+        toks = "string_split(text, ' ')"
+        sz = "len(toks)"
+        wins = (f"list_transform(generate_series(1, len(toks) - {k - 1}),"
+                f" i -> md5(array_to_string(toks[i:i + {k - 1}], ' ')))")
+        expl = "unnest(wins)"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+w AS (SELECT doc_id, {expl} AS wh
+      FROM (SELECT doc_id, {wins} AS wins FROM t WHERE {sz} >= {k}) __w),
+g AS (SELECT wh, count(DISTINCT doc_id) AS nd FROM w GROUP BY wh),
+d AS (SELECT w.doc_id,
+             cast(count(*) as bigint) AS n_windows,
+             cast(sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) as bigint) AS dup_windows
+      FROM w JOIN g ON w.wh = g.wh
+      GROUP BY w.doc_id)
+SELECT t2.doc_id,
+       cast(coalesce(d.n_windows, 0) as bigint) AS n_windows,
+       cast(coalesce(d.dup_windows, 0) as bigint) AS dup_windows,
+       (CASE WHEN coalesce(d.n_windows, 0) = 0 THEN cast(0.0 as double)
+             ELSE cast(d.dup_windows as double) / cast(d.n_windows as double)
+        END) AS dup_frac
+FROM (SELECT doc_id FROM documents) t2
+LEFT JOIN d ON t2.doc_id = d.doc_id
+"""
+
+
+Q49 = _dialects(_repeated_window_sql("spark"), _repeated_window_sql("duckdb"))
+
+
 QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q01_pricing_summary": Q01,
     "q02_top_orders_per_customer": Q02,
@@ -1713,6 +1761,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q46_unigram_lm_score": Q46,
     "q47_polyfill_pipeline_h3": (_q_h3_polyfill, _h3_polyfill_oracle_sql()),
     "q48_gopher_quality": Q48,
+    "q49_repeated_window_dedup": Q49,
 }
 
 
