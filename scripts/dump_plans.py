@@ -99,14 +99,18 @@ def main():
     q42 = QUERIES["q42_dedup_clusters"][0](spark, sf)
     sections.append(
         (
-            "Near-dup cluster identification (q42, round 4)",
+            "Near-dup cluster identification (q42, rounds 4-5)",
             "The final assignment plan: the document universe LEFT-joins "
             "the connected-components output (itself produced by the "
             "large-star/small-star loop whose per-round state is "
-            "localCheckpointed — the Scan ExistingRDD leaves here) and a "
-            "single window computes cluster sizes.  Every join in the CC "
-            "loop is an equi-join on the node id; no BroadcastNestedLoop "
-            "anywhere.",
+            "localCheckpointed — the Scan ExistingRDD leaves here), and "
+            "cluster sizes come from a partial-aggregating "
+            "groupBy(cluster_id).count() joined back (round 5: the "
+            "count(*) OVER (PARTITION BY cluster_id) window is gone — a "
+            "mega-cluster would have materialized in one window task; "
+            "the HashAggregate pair here map-side-combines instead).  "
+            "Every join in the CC loop is an equi-join on the node id; "
+            "no BroadcastNestedLoop anywhere.",
             _plan(q42),
         )
     )
@@ -122,6 +126,20 @@ def main():
             "rasterization inside the Arrow UDF) -> native parent "
             "substring -> dedup Exchange.",
             _plan(q40),
+        )
+    )
+
+    q49 = QUERIES["q49_repeated_window_dedup"][0](spark, sf)
+    sections.append(
+        (
+            "Exact-substring duplication signal (q49, round 5)",
+            "Rolling-window fingerprints explode into (doc_id, wh) rows; "
+            "the window doc-count is a partial-aggregating HashAggregate "
+            "pair over wh, re-joined as an equi-join (broadcast or "
+            "sort-merge — never nested-loop), and the per-doc rollup is "
+            "again a map-side-combining aggregate.  The 100-TB shape for "
+            "verbatim-substring dedup.",
+            _plan(q49),
         )
     )
 
