@@ -5,24 +5,11 @@ import random
 
 import pytest
 
+from tests.union_find import brute as _brute
+
 from vector2dggs_spark.operators.cc import connected_components
 
 
-def _brute(pairs):
-    parent = {}
-
-    def find(x):
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    return {x: find(x) for x in parent}
 
 
 def test_cc_matches_union_find_random_graphs(spark):

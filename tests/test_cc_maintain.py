@@ -8,27 +8,14 @@ import random
 
 import pytest
 
+from tests.union_find import brute as _brute
+
 from vector2dggs_spark.streaming.cc_maintain import (
     CCMaintainProcessor,
     stream_cc_maintain,
 )
 
 
-def _brute(pairs):
-    parent = {}
-
-    def find(x):
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    return {x: find(x) for x in parent}
 
 
 def _edges_df(spark, pairs):
@@ -164,6 +151,28 @@ def test_cc_maintain_matches_q42_on_minhash_pairs(spark, tmp_path):
             proc(_edges_df(spark, chunk), bi)
     got = _resolved(proc, spark)
     assert got == {str(k): str(v) for k, v in exp.items()}
+
+
+def test_cc_maintain_rejects_changed_bucket_count(spark, tmp_path):
+    """Round-5 code review: the bucket count is baked into the pnh
+    partition layout; reopening existing state under a different count
+    must fail loudly instead of silently prune-reading past rows."""
+    st = str(tmp_path / "st")
+    proc = CCMaintainProcessor(st, n_state_buckets=8)
+    proc(_edges_df(spark, [("a", "b")]), 0)
+    with pytest.raises(ValueError, match="n_state_buckets=8"):
+        CCMaintainProcessor(st, n_state_buckets=16)
+    proc2 = CCMaintainProcessor(st, n_state_buckets=8)  # same count: fine
+    assert _resolved(proc2, spark) == {"a": "a", "b": "a"}
+
+
+def test_cc_maintain_ignores_self_loops(spark, tmp_path):
+    """Round-5 code review: a self-loop carries no connectivity and
+    must not mint a singleton state row — batch parity with
+    connected_components (whose _sym drops them) depends on it."""
+    proc = CCMaintainProcessor(str(tmp_path / "st"), n_state_buckets=4)
+    proc(_edges_df(spark, [("a", "a"), ("b", "c")]), 0)
+    assert _resolved(proc, spark) == {"b": "b", "c": "b"}
 
 
 def test_cc_maintain_streaming_end_to_end(spark, tmp_path):

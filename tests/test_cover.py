@@ -46,6 +46,64 @@ def test_cover_mixed_levels_and_budget_scaling():
     assert len(lv_big) > 1  # genuinely mixed-resolution
 
 
+POLY_HI = np.array([
+    [100.0, 72.0], [103.5, 72.3], [104.0, 74.5],
+    [101.2, 75.2], [99.8, 73.6], [100.0, 72.0],
+])
+
+
+@pytest.mark.parametrize("dggs", ["geohash", "rhp", "s2", "h3", "a5"])
+def test_cover_superset_at_high_latitude(dggs):
+    """Round-5 code review: cell_bbox implementations that ignore the
+    1/cos(lat) longitude stretch under-cover at high latitudes, and the
+    exact edge test no longer hides it — a boundary edge crossing the
+    uncovered lobe of a cell dropped that cell and every fine cell
+    under it.  Same superset property as the mid-latitude test, at
+    72-75°N; the fine resolution is the cover's own deepest level so
+    every polyfill cell must find an equal-or-coarser ancestor."""
+    b = get_backend(dggs)
+    cov = adaptive_cover(b, [POLY_HI], max_cells=64)
+    assert 0 < len(cov) <= 64
+    levels = sorted({b.get_resolution(str(c)) for c in cov})
+    fine_res = max(levels)
+    covset = set(cov.tolist())
+    fine = np.asarray(b.polyfill([POLY_HI], fine_res), dtype=str)
+    assert len(fine)
+    for c in fine:
+        assert any(
+            b.parent(np.array([c]), lv)[0] in covset
+            for lv in levels
+            if lv <= fine_res
+        ), (dggs, c)
+
+
+def test_cap_bbox_contains_sampled_circle():
+    """cap_bbox vs a densely sampled great-circle cap boundary at
+    benign, high-latitude, and pole-containing centers."""
+    from vector2dggs_spark.dggs import cap_bbox
+
+    for clat, clon, w in ((10.0, 20.0, 2.0), (-44.0, -176.0, 1.5),
+                          (74.0, 100.0, 3.0), (-81.0, 5.0, 4.0)):
+        lat_lo, lon_lo, lat_hi, lon_hi = [
+            float(np.atleast_1d(v)[0]) for v in cap_bbox(clat, clon, w)
+        ]
+        az = np.linspace(0, 2 * np.pi, 721)
+        wr, phi = np.radians(w), np.radians(clat)
+        sl = np.sin(phi) * np.cos(wr) + np.cos(phi) * np.sin(wr) * np.cos(az)
+        lat = np.degrees(np.arcsin(np.clip(sl, -1, 1)))
+        lon = clon + np.degrees(np.arctan2(
+            np.sin(az) * np.sin(wr) * np.cos(phi),
+            np.cos(wr) - np.sin(phi) * sl,
+        ))
+        assert (lat >= lat_lo - 1e-9).all() and (lat <= lat_hi + 1e-9).all()
+        assert (lon >= lon_lo - 1e-9).all() and (lon <= lon_hi + 1e-9).all()
+    # pole-containing cap -> full longitude range + the pole itself
+    lat_lo, lon_lo, lat_hi, lon_hi = [
+        float(np.atleast_1d(v)[0]) for v in cap_bbox(89.0, 33.0, 2.0)
+    ]
+    assert lat_hi == 90.0 and lon_lo == -180.0 and lon_hi == 180.0
+
+
 def test_seg_box_hit_exact():
     """Liang-Barsky classification: crossing, containment, touch, and —
     the case the old edge-bbox overlap test got wrong — a box inside a

@@ -10,6 +10,8 @@ import os
 
 import pytest
 
+from tests.union_find import brute as _brute
+
 from vector2dggs_spark.streaming.lsh_dedup import band_rows
 from vector2dggs_spark.streaming.near_dup_clusters import (
     NearDupClusterProcessor,
@@ -32,21 +34,6 @@ def _docs(spark, specs):
     )
 
 
-def _brute(pairs):
-    parent = {}
-
-    def find(x):
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    return {x: find(x) for x in parent}
 
 
 def _clique_cc(spark, all_specs):

@@ -27,6 +27,32 @@ from vector2dggs_spark.dggs import rhp as _rhp
 DEFAULT_PARENT_OFFSET = 6  # reference constants.py:48
 
 
+def cap_bbox(lat, lon, w):
+    """CONSERVATIVE lat/lon bounding box of a spherical cap of angular
+    radius ``w`` degrees around each (lat, lon) center — the exact
+    cap-bbox construction: max |Δlon| = asin(sin w / cos lat) when the
+    cap excludes the pole, full longitude range (and the pole itself)
+    otherwise.  Backends whose cells fit inside such a cap get a truly
+    conservative ``cell_bbox`` from this; the naive ``lon ± w`` version
+    under-covers by 1/cos(lat) at high latitudes, which breaks the
+    adaptive-cover superset invariant now that the cover's edge test is
+    exact (round-5 code review)."""
+    import numpy as _np
+
+    lat = _np.atleast_1d(_np.asarray(lat, dtype=_np.float64))
+    lon = _np.atleast_1d(_np.asarray(lon, dtype=_np.float64))
+    polar = (_np.abs(lat) + w) >= 90.0
+    wr = _np.radians(w)
+    with _np.errstate(invalid="ignore", divide="ignore"):
+        sin_d = _np.sin(wr) / _np.cos(_np.radians(lat))
+    dlon = _np.degrees(_np.arcsin(_np.clip(sin_d, -1.0, 1.0)))
+    lat_lo = _np.where(polar & (lat < 0), -90.0, _np.maximum(lat - w, -90.0))
+    lat_hi = _np.where(polar & (lat > 0), 90.0, _np.minimum(lat + w, 90.0))
+    lon_lo = _np.where(polar, -180.0, lon - dlon)
+    lon_hi = _np.where(polar, 180.0, lon + dlon)
+    return lat_lo, lon_lo, lat_hi, lon_hi
+
+
 class Backend:
     name: str
     min_res: int

@@ -82,9 +82,14 @@ class A5Backend:
         return A.cell_width_deg(res)
 
     def cell_bbox(self, cells, res):
+        # conservative: cell_width_deg is the pentagon/triangle
+        # circumDIAMETER bound, so a cap of that radius has 2x margin;
+        # cap_bbox adds the 1/cos(lat) longitude stretch and pole
+        # handling the old lon±width form lacked
+        from vector2dggs_spark.dggs import cap_bbox
+
         lat, lon = self.cell_center(cells, res)
-        h = self.cell_width_deg(res)
-        return lat - h, lon - h, lat + h, lon + h
+        return cap_bbox(lat, lon, self.cell_width_deg(res))
 
     def cell_boundary(self, cells, res):
         """(n, 4, 2) [lon, lat] closed triangle rings (each A5 cell below

@@ -164,9 +164,15 @@ class H3Backend:
         return H.mean_center_spacing_deg(res)
 
     def cell_bbox(self, cells, res):
+        # conservative: every hex fits in a cap of radius cell_width
+        # (circumradius ≈ 0.58x the center spacing; the measured width
+        # is >= the angular spacing), and cap_bbox handles the
+        # 1/cos(lat) longitude stretch + pole-containing cells that the
+        # old lon±width form under-covered at high latitude
+        from vector2dggs_spark.dggs import cap_bbox
+
         lat, lon = self.cell_center(cells, res)
-        h = self.cell_width_deg(res)
-        return lat - h, lon - h, lat + h, lon + h
+        return cap_bbox(lat, lon, self.cell_width_deg(res))
 
     def cell_boundary(self, cells, res):
         """(n, 7, 2) [lon, lat] closed hexagon rings."""

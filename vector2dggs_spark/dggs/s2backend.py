@@ -85,9 +85,15 @@ class S2Backend:
         return S.cell_width_deg(res)
 
     def cell_bbox(self, cells, res):
+        # conservative: an S2 cell's angular circumradius is under
+        # 0.65x the nominal width (max diagonal/2 with the quadratic
+        # transform's shrinkage), so a cap of radius cell_width always
+        # contains it; cap_bbox adds the 1/cos(lat) longitude stretch
+        # and pole handling the old lon±width form lacked
+        from vector2dggs_spark.dggs import cap_bbox
+
         lat, lon = self.cell_center(cells, res)
-        h = self.cell_width_deg(res)
-        return lat - h, lon - h, lat + h, lon + h
+        return cap_bbox(lat, lon, self.cell_width_deg(res))
 
     def cell_boundary(self, cells, res):
         """(n, 5, 2) [lon, lat] rings from the cell's exact ST bounds."""

@@ -46,12 +46,18 @@ jobs.
 """
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+from vector2dggs_spark.streaming.state import (
+    ensure_bucket_count,
+    have_partitioned_state,
+    read_marker,
+    write_marker,
+)
 
 _SCHEMA = "u string, v string"
 
@@ -65,19 +71,21 @@ class CCMaintainProcessor:
     micro-batches directly (including crash-at-any-point replays)."""
 
     def __init__(self, state_dir: str, n_state_buckets: int = 64,
-                 max_find_iter: int = 50):
+                 max_find_iter: int = 200):
         self.parents_path = os.path.join(state_dir, "parents")
         self.marker_path = os.path.join(state_dir, "last_batch.json")
         self.n = n_state_buckets
         self.max_find_iter = max_find_iter
+        # the bucket count is baked into the partition layout; opening
+        # existing state under a different count would silently corrupt
+        # it (round-5 code review) — pin it on first use, validate after
+        ensure_bucket_count(state_dir, n_state_buckets)
 
     # ---------------------------------------------------------- state
     def _have_state(self) -> bool:
         # dynamic partition overwrite leaves no root _SUCCESS: state
         # exists iff any pnh= partition dir does (lsh_dedup lesson)
-        return os.path.isdir(self.parents_path) and any(
-            p.startswith("pnh=") for p in os.listdir(self.parents_path)
-        )
+        return have_partitioned_state(self.parents_path, "pnh")
 
     def _state(self, sp: SparkSession) -> DataFrame:
         # the session-shared file-status cache survives our own dynamic
@@ -87,53 +95,59 @@ class CCMaintainProcessor:
         return sp.read.parquet(self.parents_path)
 
     def _marker(self) -> dict:
-        if os.path.exists(self.marker_path):
-            with open(self.marker_path) as f:
-                return json.load(f)
-        return {}
+        return read_marker(self.marker_path)
 
     def _write_marker(self, batch_id: int) -> None:
-        tmp = self.marker_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id}, f)
-        os.replace(tmp, self.marker_path)  # atomic swap
+        write_marker(self.marker_path, batch_id=batch_id)
 
     # ----------------------------------------------------------- find
     def _find_roots(self, sp: SparkSession, nodes: DataFrame) -> DataFrame:
         """(node) -> (node, root): chase parent pointers through the
         state table with per-iteration partition pruning.  Nodes absent
-        from the state are their own roots."""
+        from the state are their own roots.
+
+        One hop per pass over the (small) frontier — pointer DOUBLING
+        is not available here because intermediate hops live in the
+        state table, not the frontier.  Depth stays small in practice
+        (every batch path-compresses the nodes it touches; a chain only
+        deepens while a node goes untouched across dethronements), and
+        ``max_find_iter`` (default 200) bounds pathological streams
+        with a clear error instead of a wrong answer.  Every cached
+        intermediate is released on every exit path — a leaked cached
+        state scan would serve stale file listings to a later batch."""
         cur = nodes.select("node", F.col("node").alias("cur")).cache()
         cur.count()
         have = self._have_state()
-        for _ in range(self.max_find_iter):
-            if not have:
-                break
-            hot = [r["pnh"] for r in
-                   cur.select(_pnh("cur", self.n).alias("pnh")).distinct().collect()]
-            st = self._state(sp).where(F.col("pnh").isin(hot)) \
-                .select(F.col("node").alias("cur"), "parent")
-            step = cur.join(st, "cur", "left").select(
-                "node", F.coalesce("parent", "cur").alias("nxt"),
-                (F.col("parent").isNotNull() & (F.col("parent") != F.col("cur")))
-                .alias("moved"),
-            ).cache()
-            n_moved = step.where("moved").count()
-            prev = cur
-            cur = step.select("node", F.col("nxt").alias("cur")).cache()
-            cur.count()
-            prev.unpersist()
-            step.unpersist()
-            if n_moved == 0:
-                break
-        else:
-            raise RuntimeError(
-                f"find did not terminate in {self.max_find_iter} pointer chases"
-            )
-        out = cur.select("node", F.col("cur").alias("root")).cache()
-        out.count()
-        cur.unpersist()
-        return out  # cached + materialized; caller unpersists
+        try:
+            for _ in range(self.max_find_iter):
+                if not have:
+                    break
+                hot = [r["pnh"] for r in
+                       cur.select(_pnh("cur", self.n).alias("pnh")).distinct().collect()]
+                st = self._state(sp).where(F.col("pnh").isin(hot)) \
+                    .select(F.col("node").alias("cur"), "parent")
+                step = cur.join(st, "cur", "left").select(
+                    "node", F.coalesce("parent", "cur").alias("nxt"),
+                    (F.col("parent").isNotNull() & (F.col("parent") != F.col("cur")))
+                    .alias("moved"),
+                ).cache()
+                n_moved = step.where("moved").count()
+                prev = cur
+                cur = step.select("node", F.col("nxt").alias("cur")).cache()
+                cur.count()
+                prev.unpersist()
+                step.unpersist()
+                if n_moved == 0:
+                    break
+            else:
+                raise RuntimeError(
+                    f"find did not terminate in {self.max_find_iter} pointer chases"
+                )
+            out = cur.select("node", F.col("cur").alias("root")).cache()
+            out.count()
+            return out  # cached + materialized; caller unpersists
+        finally:
+            cur.unpersist()
 
     # ---------------------------------------------------------- batch
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -145,6 +159,10 @@ class CCMaintainProcessor:
         edges = (
             batch_df.select(F.col("u"), F.col("v"))
             .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+            # self-loops carry no connectivity and must not mint
+            # singleton state rows — the batch operator's _sym drops
+            # them too, and resolve() parity depends on matching that
+            .where(F.col("u") != F.col("v"))
             .distinct()
             .cache()
         )
@@ -257,31 +275,38 @@ class CCMaintainProcessor:
             return sp.createDataFrame([], "node string, component string")
         cur = self._state(sp).select("node", F.col("parent").alias("comp")).cache()
         cur.count()
-        ptr = self._state(sp).select(
-            F.col("node").alias("comp"), F.col("parent").alias("nxt")
-        ).cache()
-        ptr.count()
-        for _ in range(max_iter):
-            step = cur.join(ptr, "comp", "left").select(
-                "node", F.coalesce("nxt", "comp").alias("comp2"),
-                (F.col("nxt").isNotNull() & (F.col("nxt") != F.col("comp")))
-                .alias("moved"),
-            ).cache()
-            n_moved = step.where("moved").count()
-            prev = cur
-            cur = step.select("node", F.col("comp2").alias("comp")).cache()
-            cur.count()
-            prev.unpersist()
-            step.unpersist()
-            if n_moved == 0:
-                break
-        else:
-            raise RuntimeError(f"resolve did not terminate in {max_iter} passes")
-        out = cur.select("node", F.col("comp").alias("component")) \
-            .localCheckpoint(eager=True)
-        cur.unpersist()
-        ptr.unpersist()
-        return out
+        try:
+            for _ in range(max_iter):
+                # TRUE pointer doubling: look pointers up in the
+                # CURRENT mapping (a self-join), so every pass squares
+                # the chase depth — O(log depth) passes even on streams
+                # whose untouched chains grew one hop per dethronement
+                # (round-5 code review: the earlier static parent-table
+                # lookup chased one hop per pass)
+                look = cur.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("nxt")
+                )
+                step = cur.join(look, "comp", "left").select(
+                    "node", F.coalesce("nxt", "comp").alias("comp2"),
+                    (F.col("nxt").isNotNull() & (F.col("nxt") != F.col("comp")))
+                    .alias("moved"),
+                ).cache()
+                n_moved = step.where("moved").count()
+                prev = cur
+                cur = step.select("node", F.col("comp2").alias("comp")).cache()
+                cur.count()
+                prev.unpersist()
+                step.unpersist()
+                if n_moved == 0:
+                    break
+            else:
+                raise RuntimeError(
+                    f"resolve did not terminate in {max_iter} passes"
+                )
+            return cur.select("node", F.col("comp").alias("component")) \
+                .localCheckpoint(eager=True)
+        finally:
+            cur.unpersist()
 
 
 def stream_cc_maintain(

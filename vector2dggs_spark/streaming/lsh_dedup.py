@@ -40,7 +40,6 @@ Python in the signature path.
 """
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -129,23 +128,27 @@ class LshDedupProcessor:
         horizon: str = "2 hours",
         n_state_buckets: int = 64,
     ):
+        from vector2dggs_spark.streaming.state import ensure_bucket_count
+
         self.output_dir = output_dir
         self.winners_path = os.path.join(state_dir, "winners")
         self.marker_path = os.path.join(state_dir, "last_batch.json")
         self.horizon_expr = f"INTERVAL {horizon}"
         self.n_state_buckets = n_state_buckets
+        # the bucket count is baked into the pbh partition layout;
+        # reopening under a different count would prune-read past the
+        # existing winners (shared pin, round-5 code review)
+        ensure_bucket_count(state_dir, n_state_buckets)
 
     def _marker(self) -> dict:
-        if os.path.exists(self.marker_path):
-            with open(self.marker_path) as f:
-                return json.load(f)
-        return {}
+        from vector2dggs_spark.streaming.state import read_marker
+
+        return read_marker(self.marker_path)
 
     def _write_marker(self, batch_id: int, hi) -> None:
-        tmp = self.marker_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id, "max_event_time": hi}, f)
-        os.replace(tmp, self.marker_path)  # atomic swap
+        from vector2dggs_spark.streaming.state import write_marker
+
+        write_marker(self.marker_path, batch_id=batch_id, max_event_time=hi)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -171,9 +174,9 @@ class LshDedupProcessor:
         batch_rows = bands.select("pbh", "band", "bv", "doc_id", "event_time")
         # dynamic partition overwrite does not leave a root _SUCCESS:
         # state exists iff any pbh= partition dir does
-        have_state = os.path.isdir(self.winners_path) and any(
-            p.startswith("pbh=") for p in os.listdir(self.winners_path)
-        )
+        from vector2dggs_spark.streaming.state import have_partitioned_state
+
+        have_state = have_partitioned_state(self.winners_path, "pbh")
         if have_state and touched:
             # partition-pruned read: only the state buckets this batch
             # can collide with are scanned, only in-horizon winners count

@@ -45,7 +45,6 @@ application decision), not a silent horizon.
 """
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,6 +53,12 @@ from pyspark.sql.streaming import StreamingQuery
 
 from vector2dggs_spark.streaming.cc_maintain import CCMaintainProcessor
 from vector2dggs_spark.streaming.lsh_dedup import _SCHEMA, _winner, band_rows
+from vector2dggs_spark.streaming.state import (
+    ensure_bucket_count,
+    have_partitioned_state,
+    read_marker,
+    write_marker,
+)
 
 
 class NearDupClusterProcessor:
@@ -63,26 +68,19 @@ class NearDupClusterProcessor:
         self.winners_path = os.path.join(state_dir, "winners")
         self.marker_path = os.path.join(state_dir, "last_batch.json")
         self.n = n_state_buckets
+        ensure_bucket_count(state_dir, n_state_buckets)
         self.cc = CCMaintainProcessor(
             os.path.join(state_dir, "cc"), n_state_buckets=n_state_buckets
         )
 
     def _marker(self) -> dict:
-        if os.path.exists(self.marker_path):
-            with open(self.marker_path) as f:
-                return json.load(f)
-        return {}
+        return read_marker(self.marker_path)
 
     def _write_marker(self, batch_id: int) -> None:
-        tmp = self.marker_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id}, f)
-        os.replace(tmp, self.marker_path)
+        write_marker(self.marker_path, batch_id=batch_id)
 
     def _have_state(self) -> bool:
-        return os.path.isdir(self.winners_path) and any(
-            p.startswith("pbh=") for p in os.listdir(self.winners_path)
-        )
+        return have_partitioned_state(self.winners_path, "pbh")
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
