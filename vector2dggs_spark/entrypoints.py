@@ -1167,14 +1167,17 @@ def _q_h3_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.cells
 
 
-def _h3_polyfill_oracle_sql() -> str:
-    """DuckDB restatement of the H3 polyfill (module comment above)."""
+def _h3_enum_ctes(corpus_sql: str) -> tuple[str, str]:
+    """The q47 construction as reusable pieces: returns (ctes, enc) —
+    the ``WITH rect .. ins`` chain enumerating every res-``_H3PF_RES``
+    cell whose center is strictly inside its rect, and the layered
+    encode select producing (doc_id, cell) from it."""
     import numpy as np
 
     from vector2dggs_spark.dggs.h3core import tables as T
     from vector2dggs_spark.functions.h3sql import h3_select_sql
 
-    res, pres, face = _H3PF_RES, _H3PF_PARENT, _H3PF_FACE
+    res, face = _H3PF_RES, _H3PF_FACE
     assert res % 2 == 0  # even res: no M_AP7_ROT_RADS term in theta
     fla = float(T.FACE_CENTER_GEO[face, 0])
     flo = float(T.FACE_CENTER_GEO[face, 1])
@@ -1215,16 +1218,10 @@ def _h3_polyfill_oracle_sql() -> str:
 
     enc = h3_select_sql("SELECT doc_id, clat, clon FROM ins", "clat", "clon",
                         res, ["doc_id"], dialect="duckdb")
-    fill = (1 << (3 * (15 - pres))) - 1
-    pid = f"((('0x' || cell)::BIGINT | {fill}) - {(res - pres) << 52})"
-    nib = " || ".join(
-        f"substring('0123456789abcdef', cast((__p >> {4 * k}) & 15 as int) + 1, 1)"
-        for k in range(14, -1, -1)
-    )
     lon2 = (f"({d(flo)} + atan2(sin(az)*sin(rr)*cos({d(fla)}),"
             f" cos(rr) - sin({d(fla)})*sinlat) + {PI})")
-    return f"""
-WITH rect AS ({_h3_rect_corpus_sql()}),
+    ctes = f"""
+WITH rect AS ({corpus_sql}),
 rng AS (SELECT doc_id, x0, y0, x1, y1,
                {imin} AS imin, {imax} AS imax,
                {jmin} AS jmin, {jmax} AS jmax
@@ -1252,10 +1249,142 @@ ctr AS (SELECT doc_id, x0, y0, x1, y1,
                (({lon2} - {TWO_PI} * floor({lon2} / {TWO_PI}) - {PI}) * {deg}) AS clon
         FROM sl),
 ins AS (SELECT doc_id, clat, clon FROM ctr
-        WHERE clon > x0 AND clon < x1 AND clat > y0 AND clat < y1)
+        WHERE clon > x0 AND clon < x1 AND clat > y0 AND clat < y1)"""
+    return ctes, enc
+
+
+def _h3_token(expr: str) -> str:
+    """DuckDB: BIGINT h3 id expression -> lowercase hex token."""
+    nib = " || ".join(
+        f"substring('0123456789abcdef', cast((({expr}) >> {4 * k}) & 15 as int) + 1, 1)"
+        for k in range(14, -1, -1)
+    )
+    return f"regexp_replace({nib}, '^0+', '')"
+
+
+def _h3_pid(expr: str, parent_res: int) -> str:
+    """DuckDB: parent id at ``parent_res`` for an h3 id of ANY res —
+    clear the res nibble, set parent_res, fill lower digits with 7s
+    (the engine's parent_expr, dggs/h3backend.py:50)."""
+    res_mask = 15 << 52
+    fill = (1 << (3 * (15 - parent_res))) - 1
+    return (f"((({expr}) - (({expr}) & {res_mask}) + {parent_res << 52})"
+            f" | {fill})")
+
+
+def _h3_polyfill_oracle_sql() -> str:
+    """DuckDB restatement of the H3 polyfill (module comment above)."""
+    res, pres = _H3PF_RES, _H3PF_PARENT
+    ctes, enc = _h3_enum_ctes(_h3_rect_corpus_sql())
+    pid = _h3_pid("('0x' || cell)::BIGINT", pres)
+    return f"""{ctes}
 SELECT cell AS h3_{res:02d}, doc_id,
-       regexp_replace({nib}, '^0+', '') AS h3_{pres:02d}
+       {_h3_token("__p")} AS h3_{pres:02d}
 FROM (SELECT doc_id, cell, {pid} AS __p FROM ({enc}) __e) __f
+"""
+
+
+# ------------------------------------------ H3 compaction oracle (q50)
+# A2/A3 pinned on a THIRD cell geometry: aperture-7 hex compaction is
+# ID-based (H3 children are not spatially nested), so the oracle replays
+# the iterative 7-sibling merge with the engine's own parent bit math
+# (clear res nibble, set parent res, fill digits with 7s) instead of the
+# string prefixes q28/q41 used.  The corpus window has no pentagon base
+# cells, so complete sets are always exactly 7.
+def _h3c_rect_corpus_sql(table: str = "events", id_col: str = "event_id") -> str:
+    """Rects in the q47 face-8 window sized for merges: small rects
+    0.25-0.49° complete interior res-5 sibling sets at res 6 (a res-5
+    cell's 49 res-6 descendants span ~0.5° of footprint only for the
+    big case — small rects exercise partial sets too); every ~377th
+    'big' rect is 1.0°, which contains some res-4 cell's full res-6
+    descendant footprint (~0.66°) but can never complete a res-3 set
+    (descendant footprint ~1.7°), so the parent_res=3 floor provably
+    never re-expands — the q41 argument, aperture 7."""
+    lat = f"({G.dlit(-6.9)} + ({id_col} % 480) * {G.dlit(0.01)})"
+    lon = f"({G.dlit(-44.4)} + (({id_col} * 7) % 480) * {G.dlit(0.01)})"
+    big = f"{id_col} % 377 = 0"
+    w = f"(CASE WHEN {big} THEN {G.dlit(1.0)} ELSE {G.dlit(0.25)} + ({id_col} % 7) * {G.dlit(0.04)} END)"
+    h = f"(CASE WHEN {big} THEN {G.dlit(1.0)} ELSE {G.dlit(0.25)} + ({id_col} % 5) * {G.dlit(0.05)} END)"
+    return f"""
+SELECT doc_id,
+       (lon - w * {G.dlit(0.5)}) AS x0, (lat - h * {G.dlit(0.5)}) AS y0,
+       (lon + w * {G.dlit(0.5)}) AS x1, (lat + h * {G.dlit(0.5)}) AS y1
+FROM (
+  SELECT ('C' || cast({id_col} as string)) AS doc_id,
+         {lat} AS lat, {lon} AS lon, {w} AS w, {h} AS h
+  FROM {table} WHERE {id_col} % 17 = 0) __r
+"""
+
+
+def _q_h3_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q50 — REAL pipeline (H3 polyfill + ID-based compaction) over the
+    merge-sized face-local rect corpus."""
+    from pyspark.sql import functions as F
+
+    from vector2dggs_spark import index
+
+    load_views(spark, sf_dir)
+    corpus = spark.sql(_h3c_rect_corpus_sql())
+    s = lambda c: F.col(c).cast("string")  # noqa: E731 — Java shortest-repr
+    rect_wkt = F.concat(
+        F.lit("POLYGON (("),
+        s("x0"), F.lit(" "), s("y0"), F.lit(", "),
+        s("x1"), F.lit(" "), s("y0"), F.lit(", "),
+        s("x1"), F.lit(" "), s("y1"), F.lit(", "),
+        s("x0"), F.lit(" "), s("y1"), F.lit(", "),
+        s("x0"), F.lit(" "), s("y0"), F.lit("))"),
+    )
+    docs = corpus.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("geometry").alias("kind"),
+                rect_wkt.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    r = index(spark, docs, dggs="h3", resolution=_H3PF_RES,
+              parent_res=_H3PF_PARENT, cut_threshold_deg2=0, compact=True)
+    return r.cells
+
+
+def _h3_compaction_oracle_sql() -> str:
+    """DuckDB restatement: the q47 lattice enumeration over the bigger
+    corpus, then the iterative 7-sibling merge replayed level by level
+    on the ids (6→5→4→3); mirrors q41's chained prefix GROUP BYs with
+    bit-math parents."""
+    res, pres = _H3PF_RES, _H3PF_PARENT
+    ctes, enc = _h3_enum_ctes(_h3c_rect_corpus_sql())
+    p5 = _h3_pid("id", 5)
+    p4 = _h3_pid("pid", 4)
+    p3 = _h3_pid("pid", 3)
+    parent = _h3_pid("id", pres)
+    return f"""{ctes},
+allc AS (SELECT doc_id, ('0x' || cell)::BIGINT AS id FROM ({enc}) __e),
+g5 AS (SELECT doc_id, {p5} AS pid, count(*) AS n FROM allc GROUP BY 1, 2),
+m5 AS (SELECT doc_id, pid FROM g5 WHERE n = 7),
+k6 AS (SELECT a.doc_id, a.id FROM allc a
+       LEFT JOIN m5 ON m5.doc_id = a.doc_id AND m5.pid = {_h3_pid("a.id", 5)}
+       WHERE m5.pid IS NULL),
+g4 AS (SELECT doc_id, {p4} AS pid, count(*) AS n FROM m5 GROUP BY 1, 2),
+m4 AS (SELECT doc_id, pid FROM g4 WHERE n = 7),
+k5 AS (SELECT a.doc_id, a.pid AS id FROM m5 a
+       LEFT JOIN m4 ON m4.doc_id = a.doc_id AND m4.pid = {_h3_pid("a.pid", 4)}
+       WHERE m4.pid IS NULL),
+g3 AS (SELECT doc_id, {p3} AS pid, count(*) AS n FROM m4 GROUP BY 1, 2),
+m3 AS (SELECT doc_id, pid FROM g3 WHERE n = 7),
+k4 AS (SELECT a.doc_id, a.pid AS id FROM m4 a
+       LEFT JOIN m3 ON m3.doc_id = a.doc_id AND m3.pid = {_h3_pid("a.pid", 3)}
+       WHERE m3.pid IS NULL),
+comp AS (SELECT doc_id, id FROM k6
+         UNION ALL SELECT doc_id, id FROM k5
+         UNION ALL SELECT doc_id, id FROM k4
+         UNION ALL SELECT doc_id, pid AS id FROM m3)
+SELECT {_h3_token("id")} AS h3_{res:02d}, doc_id,
+       {_h3_token(parent)} AS h3_{pres:02d}
+FROM comp
 """
 
 
@@ -1762,6 +1891,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q47_polyfill_pipeline_h3": (_q_h3_polyfill, _h3_polyfill_oracle_sql()),
     "q48_gopher_quality": Q48,
     "q49_repeated_window_dedup": Q49,
+    "q50_compaction_pipeline_h3": (_q_h3_compaction, _h3_compaction_oracle_sql()),
 }
 
 
