@@ -1838,6 +1838,154 @@ LEFT JOIN d ON t2.doc_id = d.doc_id
 Q49 = _dialects(_repeated_window_sql("spark"), _repeated_window_sql("duckdb"))
 
 
+# --------------------------------------------- S2 polyfill oracle (q51)
+# C9/C10 were the last backends whose polygon fill had only structural
+# tests (VERDICT r04 "missing" #2).  Same construction as q47 (H3) /
+# q41 (rHP): a rect corpus confined to ONE cube face — face 0, centered
+# on (0°, 0°), where u = tan(lon), v = tan(lat)/cos(lon) — so every
+# level-12 cell center in play is the image of one (i, j) lattice point
+# of that face's quadtree grid.  The oracle enumerates the (i, j) range
+# from the corner-projected s/t extremes (+4-cell margin — v's interior
+# extreme when a rect crosses lon=0 is O(lat·lon²/2) ≈ 1e-5 cells off
+# the corner hull, so the margin drowns it; extra candidates fail the
+# strict inside test for free), rebuilds each candidate's center with
+# the EXACT doubles the kernel computes (dggs/s2.py:polyfill — the
+# (leaf+0.5)/2^30 → quadratic ST→UV → face-0 xyz chain is all exact or
+# ≤1-ulp libm, far below any generic rect boundary's distance), keeps
+# centers strictly inside the rect, and re-encodes them through the
+# PROVEN layered q31 encode SQL (functions/sqlgen.py:s2_select_sql).
+# S2 is spatially nested (a quadtree on (s,t)), so the parent column is
+# an INDEPENDENT re-encode of the same center at the parent level — no
+# bit math shared with the engine's parent_expr.
+# Reference parity: s2vectorindexer.py:92-157,190-199 (fixed-level
+# covering post-filtered to center-inside cells).
+_S2PF_RES, _S2PF_PARENT = 12, 8
+
+
+def _s2_rect_corpus_sql(table: str = "events", id_col: str = "event_id") -> str:
+    """Axis-aligned rects wholly interior to cube face 0 (|lat|, |lon|
+    < 19.7° ≪ 45°) — IDENTICAL text in both dialects.  Rects are
+    0.2-0.5° wide; at level 12 (cell ≈ 0.022°) that is 9-23 cells
+    across."""
+    lat = f"({G.dlit(-19.2)} + ({id_col} % 480) * {G.dlit(0.08)})"
+    lon = f"({G.dlit(-19.2)} + (({id_col} * 7) % 480) * {G.dlit(0.08)})"
+    w = f"({G.dlit(0.2)} + ({id_col} % 7) * {G.dlit(0.05)})"
+    h = f"({G.dlit(0.2)} + ({id_col} % 5) * {G.dlit(0.06)})"
+    return f"""
+SELECT doc_id,
+       (lon - w * {G.dlit(0.5)}) AS x0, (lat - h * {G.dlit(0.5)}) AS y0,
+       (lon + w * {G.dlit(0.5)}) AS x1, (lat + h * {G.dlit(0.5)}) AS y1
+FROM (
+  SELECT ('S' || cast({id_col} as string)) AS doc_id,
+         {lat} AS lat, {lon} AS lon, {w} AS w, {h} AS h
+  FROM {table} WHERE {id_col} % 29 = 0) __r
+"""
+
+
+def _q_s2_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q51 — REAL pipeline (S2 polygon polyfill, C9) over the
+    face-0 SQL-derived rect corpus."""
+    from pyspark.sql import functions as F
+
+    from vector2dggs_spark import index
+
+    load_views(spark, sf_dir)
+    corpus = spark.sql(_s2_rect_corpus_sql())
+    s = lambda c: F.col(c).cast("string")  # noqa: E731 — Java shortest-repr
+    rect_wkt = F.concat(
+        F.lit("POLYGON (("),
+        s("x0"), F.lit(" "), s("y0"), F.lit(", "),
+        s("x1"), F.lit(" "), s("y0"), F.lit(", "),
+        s("x1"), F.lit(" "), s("y1"), F.lit(", "),
+        s("x0"), F.lit(" "), s("y1"), F.lit(", "),
+        s("x0"), F.lit(" "), s("y0"), F.lit("))"),
+    )
+    docs = corpus.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("geometry").alias("kind"),
+                rect_wkt.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    r = index(spark, docs, dggs="s2", resolution=_S2PF_RES,
+              parent_res=_S2PF_PARENT, cut_threshold_deg2=0)
+    return r.cells
+
+
+def _s2_polyfill_oracle_sql() -> str:
+    """DuckDB restatement of the S2 polyfill (module comment above)."""
+    import numpy as np
+
+    res, pres = _S2PF_RES, _S2PF_PARENT
+    shift = 30 - res
+    d = G.dlit
+    RAD = d(np.pi / 180.0)
+    DEG = d(float(np.degrees(1.0)))
+    LVL = float(1 << res)          # s*2^res = level-`res` cell index
+    STEP = d(float(1 << shift))    # leaf cells per level-`res` cell
+    HALF = d((1 << (shift - 1)) + 0.5)  # kernel's center leaf offset
+    MAXN = d(float(1 << 30))
+    one, half, third, four = d(1.0), d(0.5), d(1.0 / 3.0), d(4.0)
+
+    def st(u: str) -> str:
+        """_uv_to_st (monotone) — range mapping only, ulps irrelevant."""
+        return (f"(CASE WHEN {u} >= {d(0.0)} THEN {half} * sqrt({one} + {d(3.0)} * {u})"
+                f" ELSE {one} - {half} * sqrt({one} - {d(3.0)} * {u}) END)")
+
+    def st_to_uv(s: str) -> str:
+        """_st_to_uv with the kernel's exact op order (dggs/s2.py:128)."""
+        return (f"(CASE WHEN {s} >= {half} THEN {third} * ({four} * {s} * {s} - {one})"
+                f" ELSE {third} * ({one} - {four} * ({one} - {s}) * ({one} - {s})) END)")
+
+    # corner u depends on lon only (u = tan(lon), monotone on the face);
+    # corner v = tan(lat)/cos(lon) — extremes at corners up to the
+    # documented O(1e-5)-cell interior slack the margin covers
+    vc = lambda y, x: f"(tan(({y}) * {RAD}) / cos(({x}) * {RAD}))"  # noqa: E731
+    ci = lambda s: f"cast(floor({s} * {d(LVL)}) as bigint)"  # noqa: E731
+    vs = [vc("y0", "x0"), vc("y0", "x1"), vc("y1", "x0"), vc("y1", "x1")]
+
+    enc12 = G.s2_select_sql("SELECT doc_id, clat, clon FROM ins",
+                            "clat", "clon", res, ["doc_id", "clat", "clon"],
+                            dialect="duckdb", out="cell")
+    enc8 = G.s2_select_sql(enc12, "clat", "clon", pres, ["doc_id", "cell"],
+                           dialect="duckdb", out="p")
+    return f"""
+WITH rect AS ({_s2_rect_corpus_sql()}),
+rng AS (SELECT doc_id, x0, y0, x1, y1,
+               {ci(st(f"tan(x0 * {RAD})"))} - 4 AS imin,
+               {ci(st(f"tan(x1 * {RAD})"))} + 4 AS imax,
+               {ci(st(f"least({', '.join(vs)})"))} - 4 AS jmin,
+               {ci(st(f"greatest({', '.join(vs)})"))} + 4 AS jmax
+        FROM rect),
+li AS (SELECT doc_id, x0, y0, x1, y1, jmin, jmax,
+              unnest(generate_series(imin, imax)) AS li FROM rng),
+lj AS (SELECT doc_id, x0, y0, x1, y1, li,
+              unnest(generate_series(jmin, jmax)) AS lj FROM li),
+st AS (SELECT doc_id, x0, y0, x1, y1,
+              ((cast(li as double) * {STEP} + {HALF}) / {MAXN}) AS sc,
+              ((cast(lj as double) * {STEP} + {HALF}) / {MAXN}) AS tc
+       FROM lj),
+uv AS (SELECT doc_id, x0, y0, x1, y1,
+              {st_to_uv("sc")} AS uc, {st_to_uv("tc")} AS vcc
+       FROM st),
+xr AS (SELECT doc_id, x0, y0, x1, y1, uc, vcc,
+              sqrt(({one} + uc * uc) + vcc * vcc) AS rr
+       FROM uv),
+ctr AS (SELECT doc_id, x0, y0, x1, y1,
+               (asin(least(greatest(vcc / rr, {d(-1.0)}), {one})) * {DEG}) AS clat,
+               (atan2(uc, {one}) * {DEG}) AS clon
+        FROM xr),
+ins AS (SELECT doc_id, clat, clon FROM ctr
+        WHERE clon > x0 AND clon < x1 AND clat > y0 AND clat < y1)
+SELECT cell AS s2_{res:02d}, doc_id, p AS s2_{pres:02d}
+FROM ({enc8}) __f
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q01_pricing_summary": Q01,
     "q02_top_orders_per_customer": Q02,
@@ -1892,6 +2040,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q48_gopher_quality": Q48,
     "q49_repeated_window_dedup": Q49,
     "q50_compaction_pipeline_h3": (_q_h3_compaction, _h3_compaction_oracle_sql()),
+    "q51_polyfill_pipeline_s2": (_q_s2_polyfill, _s2_polyfill_oracle_sql()),
 }
 
 
