@@ -1986,6 +1986,167 @@ FROM ({enc8}) __f
 """
 
 
+# --------------------------------------------- A5 polyfill oracle (q52)
+# The last polyfill family without an end-to-end oracle (q24 is golden
+# only).  Same program as q51/q47: a rect corpus confined to ONE
+# quintant of ONE dodecahedron face — face 1, quintant 0, whose
+# interior covers lats 8-14°N, lons 39-46°E with barycentric (s, t) in
+# [0.17, 0.40] (deeply interior: s+t <= 0.71 < 1).  The aperture-4
+# triangle quadtree's centers form a plain lattice in the quintant
+# frame — up-triangles at ((i+1/3)/n, (j+1/3)/n), down-triangles at
+# ((i+2/3)/n, (j+2/3)/n), n = 2^(res-1) — verified to reproduce the
+# kernel's IFS-recursion centroids (dggs/a5.py:cell_to_lonlat) to
+# 2e-14° with exact encode round-trip.  The oracle forward-projects
+# rect corners to (s, t), enumerates the lattice range (+4 margin;
+# phantom out-of-range orientations land outside the rect and filter
+# free), inverse-projects centers through the gnomonic frame
+# (p = C + x·E1 + y·E2, normalized), keeps centers strictly inside,
+# and re-encodes via the PROVEN q34 layered SQL
+# (functions/a5sql.py:a5_select_sql).  A5's triangle quadtree is
+# spatially nested, so the parent column is an independent re-encode
+# at the parent res — no marker-bit math shared with parent_expr.
+# Reference parity: a5vectorindexer.py:25 (polygon_to_cells +
+# uncompact at a fixed res, center-containment modality).
+_A5PF_RES, _A5PF_PARENT, _A5PF_FACE, _A5PF_QUINT = 10, 7, 1, 0
+
+
+def _a5_rect_corpus_sql(table: str = "events", id_col: str = "event_id") -> str:
+    """Axis-aligned rects wholly inside the face-1/quintant-0 window —
+    IDENTICAL text in both dialects.  Rect centers span 8.5-13.5°N x
+    39.5-45.5°E; 0.2-0.5° wide (res-10 cell ≈ 0.073°: 3-7 across)."""
+    lat = f"({G.dlit(8.5)} + ({id_col} % 480) * {G.dlit(0.0104)})"
+    lon = f"({G.dlit(39.5)} + (({id_col} * 7) % 480) * {G.dlit(0.0125)})"
+    w = f"({G.dlit(0.2)} + ({id_col} % 7) * {G.dlit(0.05)})"
+    h = f"({G.dlit(0.2)} + ({id_col} % 5) * {G.dlit(0.06)})"
+    return f"""
+SELECT doc_id,
+       (lon - w * {G.dlit(0.5)}) AS x0, (lat - h * {G.dlit(0.5)}) AS y0,
+       (lon + w * {G.dlit(0.5)}) AS x1, (lat + h * {G.dlit(0.5)}) AS y1
+FROM (
+  SELECT ('A' || cast({id_col} as string)) AS doc_id,
+         {lat} AS lat, {lon} AS lon, {w} AS w, {h} AS h
+  FROM {table} WHERE {id_col} % 29 = 0) __r
+"""
+
+
+def _q_a5_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q52 — REAL pipeline (A5 polygon polyfill, C17) over the
+    quintant-interior SQL-derived rect corpus."""
+    from pyspark.sql import functions as F
+
+    from vector2dggs_spark import index
+
+    load_views(spark, sf_dir)
+    corpus = spark.sql(_a5_rect_corpus_sql())
+    s = lambda c: F.col(c).cast("string")  # noqa: E731 — Java shortest-repr
+    rect_wkt = F.concat(
+        F.lit("POLYGON (("),
+        s("x0"), F.lit(" "), s("y0"), F.lit(", "),
+        s("x1"), F.lit(" "), s("y0"), F.lit(", "),
+        s("x1"), F.lit(" "), s("y1"), F.lit(", "),
+        s("x0"), F.lit(" "), s("y1"), F.lit(", "),
+        s("x0"), F.lit(" "), s("y0"), F.lit("))"),
+    )
+    docs = corpus.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("geometry").alias("kind"),
+                rect_wkt.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    r = index(spark, docs, dggs="a5", resolution=_A5PF_RES,
+              parent_res=_A5PF_PARENT, cut_threshold_deg2=0)
+    return r.cells
+
+
+def _a5_polyfill_oracle_sql() -> str:
+    """DuckDB restatement of the A5 polyfill (module comment above)."""
+    import numpy as np
+
+    from vector2dggs_spark.dggs import a5 as A
+    from vector2dggs_spark.functions.a5sql import a5_select_sql
+
+    res, pres, f0, q0 = _A5PF_RES, _A5PF_PARENT, _A5PF_FACE, _A5PF_QUINT
+    n = 1 << (res - 1)
+    d = G.dlit
+    RAD = d(np.pi / 180.0)
+    DEG = d(float(np.degrees(1.0)))
+    v1x, v1y, v2x, v2y = (float(np.asarray(v).ravel()[0])
+                          for v in A._vert_xy(np.array([f0]), np.array([q0])))
+    det = v1x * v2y - v2x * v1y
+    cx, cy, cz = (float(v) for v in A.FACE_XYZ[f0])
+    e1x, e1y, e1z = (float(v) for v in A._E1[f0])
+    e2x, e2y, e2z = (float(v) for v in A._E2[f0])
+
+    def fwd_st(xc: str, yc: str) -> tuple[str, str]:
+        """Corner (lon=xc, lat=yc, degrees) -> fractional (s, t) in the
+        quintant frame (the kernel's lonlat_to_cell projection ops)."""
+        phi, lam = f"(({yc}) * {RAD})", f"(({xc}) * {RAD})"
+        px = f"(cos({phi}) * cos({lam}))"
+        py = f"(cos({phi}) * sin({lam}))"
+        pz = f"sin({phi})"
+        dot = f"((({px} * {d(cx)}) + ({py} * {d(cy)})) + ({pz} * {d(cz)}))"
+        x = (f"((({px} * {d(e1x)}) + ({py} * {d(e1y)}) + ({pz} * {d(e1z)}))"
+             f" / {dot})")
+        y = (f"((({px} * {d(e2x)}) + ({py} * {d(e2y)}) + ({pz} * {d(e2z)}))"
+             f" / {dot})")
+        s = f"((({x}) * {d(v2y)} - {d(v2x)} * ({y})) / {d(det)})"
+        t = f"(({d(v1x)} * ({y}) - ({x}) * {d(v1y)}) / {d(det)})"
+        return s, t
+
+    Ss, Ts = zip(*[fwd_st(cxn, cyn) for cxn, cyn in
+                   (("x0", "y0"), ("x1", "y0"), ("x1", "y1"), ("x0", "y1"))])
+    rng = lambda es: (f"cast(floor(least({', '.join(es)}) * {d(float(n))}) as bigint) - 4",  # noqa: E731
+                      f"cast(ceil(greatest({', '.join(es)}) * {d(float(n))}) as bigint) + 4")
+    imin, imax = rng(Ss)
+    jmin, jmax = rng(Ts)
+
+    enc10 = a5_select_sql("SELECT doc_id, clat, clon FROM ins",
+                          "clat", "clon", res, ["doc_id", "clat", "clon"],
+                          out="cell")
+    enc7 = a5_select_sql(enc10, "clat", "clon", pres, ["doc_id", "cell"],
+                         out="p")
+    return f"""
+WITH rect AS ({_a5_rect_corpus_sql()}),
+rng AS (SELECT doc_id, x0, y0, x1, y1,
+               {imin} AS imin, {imax} AS imax,
+               {jmin} AS jmin, {jmax} AS jmax
+        FROM rect),
+li AS (SELECT doc_id, x0, y0, x1, y1, jmin, jmax,
+              unnest(generate_series(imin, imax)) AS li FROM rng),
+lj AS (SELECT doc_id, x0, y0, x1, y1, li,
+              unnest(generate_series(jmin, jmax)) AS lj FROM li),
+bc AS (SELECT doc_id, x0, y0, x1, y1,
+              ((cast(li as double) + oo) / {d(float(n))}) AS sc,
+              ((cast(lj as double) + oo) / {d(float(n))}) AS tc
+       FROM lj, (VALUES ({d(1.0 / 3.0)}), ({d(2.0 / 3.0)})) __o(oo)),
+xy AS (SELECT doc_id, x0, y0, x1, y1,
+              (sc * {d(v1x)} + tc * {d(v2x)}) AS gx,
+              (sc * {d(v1y)} + tc * {d(v2y)}) AS gy
+       FROM bc),
+pv AS (SELECT doc_id, x0, y0, x1, y1,
+              (({d(cx)} + gx * {d(e1x)}) + gy * {d(e2x)}) AS p0,
+              (({d(cy)} + gx * {d(e1y)}) + gy * {d(e2y)}) AS p1,
+              (({d(cz)} + gx * {d(e1z)}) + gy * {d(e2z)}) AS p2
+       FROM xy),
+nv AS (SELECT doc_id, x0, y0, x1, y1, p0, p1, p2,
+              sqrt((p0 * p0 + p1 * p1) + p2 * p2) AS pn
+       FROM pv),
+ctr AS (SELECT doc_id, x0, y0, x1, y1,
+               (asin(least(greatest(p2 / pn, {d(-1.0)}), {d(1.0)})) * {DEG}) AS clat,
+               (atan2(p1 / pn, p0 / pn) * {DEG}) AS clon
+        FROM nv),
+ins AS (SELECT doc_id, clat, clon FROM ctr
+        WHERE clon > x0 AND clon < x1 AND clat > y0 AND clat < y1)
+SELECT cell AS a5_{res:02d}, doc_id, p AS a5_{pres:02d}
+FROM ({enc7}) __f
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q01_pricing_summary": Q01,
     "q02_top_orders_per_customer": Q02,
@@ -2041,6 +2202,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q49_repeated_window_dedup": Q49,
     "q50_compaction_pipeline_h3": (_q_h3_compaction, _h3_compaction_oracle_sql()),
     "q51_polyfill_pipeline_s2": (_q_s2_polyfill, _s2_polyfill_oracle_sql()),
+    "q52_polyfill_pipeline_a5": (_q_a5_polyfill, _a5_polyfill_oracle_sql()),
 }
 
 
