@@ -2147,6 +2147,117 @@ FROM ({enc7}) __f
 """
 
 
+# ------------------------------- dense-sample linetrace oracles (q53-q55)
+# C6/C10/C18's linetrace is dense sampling at quarter-cell spacing +
+# per-doc dedup (dggs/{s2,a5,rhp}.py:linetrace; reference
+# line_string_to_cells role).  np.linspace(0,1,n+1)[1:] is exactly
+# [k·(1/n) for k<n] + [1.0] (verified bit-for-bit), and every sample
+# coordinate is a + t·(b−a) in plain left-assoc double ops — so the
+# ENTIRE sampling schedule is replicable in SQL, and each sample
+# re-encodes through the backend's proven layered point SQL (q30/q31/
+# q34).  Cells are nested under parents for all three backends, so the
+# parent column is an independent second encode at the parent res.
+# The q40 line corpus is reused (0.05-0.3° two-segment polylines, no
+# antimeridian crossing).  H3's linetrace (C2) is a grid_path_cells
+# walk, not dense sampling — it keeps its pytest/golden pinning.
+_DSL = {"s2": (12, 8), "a5": (10, 7), "rhp": (6, 3)}
+
+
+def _q_linetrace_backend(spark: SparkSession, sf_dir: str, dggs: str) -> DataFrame:
+    """q53/q54/q55 — REAL pipeline over the q40 polyline corpus with
+    the dense-sample backends."""
+    from pyspark.sql import functions as F
+
+    from vector2dggs_spark import index
+
+    res, pres = _DSL[dggs]
+    load_views(spark, sf_dir)
+    corpus = spark.sql(_line_corpus_sql())
+    s = lambda c: F.col(c).cast("string")  # noqa: E731 — Java shortest-repr
+    wkt = F.concat(
+        F.lit("LINESTRING ("),
+        s("ax"), F.lit(" "), s("ay"), F.lit(", "),
+        s("bx"), F.lit(" "), s("by"), F.lit(", "),
+        s("cx"), F.lit(" "), s("cy"), F.lit(")"),
+    )
+    docs = corpus.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("geometry").alias("kind"),
+                wkt.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    r = index(spark, docs, dggs=dggs, resolution=res, parent_res=pres,
+              cut_threshold_deg2=0)
+    return r.cells
+
+
+def _dense_sample_ctes(step: float, seg_start: bool) -> str:
+    """WITH-chain producing ``pts(doc_id, sx, sy)`` — the exact sample
+    schedule of the dense-sample linetrace kernels.  ``seg_start``:
+    rHP's _densify emits every segment's start vertex; s2/a5 emit only
+    the polyline's first vertex."""
+    one = G.dlit(1.0)
+    st = G.dlit(step)
+    starts = ("SELECT doc_id, px AS sx, py AS sy FROM segs" if seg_start
+              else "SELECT doc_id, ax AS sx, ay AS sy FROM lines")
+    return f"""
+WITH lines AS ({_line_corpus_sql()}),
+segs AS (
+  SELECT doc_id, ax AS px, ay AS py, bx AS qx, by AS qy FROM lines
+  UNION ALL
+  SELECT doc_id, bx, by, cx, cy FROM lines),
+sn AS (SELECT doc_id, px, py, qx, qy,
+              greatest(cast(ceil(greatest(abs(qx - px), abs(qy - py)) / {st}) as bigint), 1) AS n
+       FROM segs),
+sk AS (SELECT doc_id, px, py, qx, qy, n,
+              unnest(generate_series(1, n)) AS k FROM sn),
+stt AS (SELECT doc_id, px, py, qx, qy,
+               (CASE WHEN k = n THEN {one}
+                     ELSE cast(k as double) * ({one} / cast(n as double)) END) AS tt
+        FROM sk),
+pts AS (SELECT doc_id, (px + tt * (qx - px)) AS sx, (py + tt * (qy - py)) AS sy
+        FROM stt
+        UNION ALL
+        {starts})"""
+
+
+def _dense_linetrace_oracle_sql(dggs: str) -> str:
+    """DuckDB restatement: replayed sample schedule -> two layered
+    point encodes (cell res + parent res) -> per-doc DISTINCT."""
+    from vector2dggs_spark.dggs import a5 as A
+    from vector2dggs_spark.dggs import rhp as R
+    from vector2dggs_spark.dggs import s2 as S
+    from vector2dggs_spark.functions.a5sql import a5_select_sql
+
+    res, pres = _DSL[dggs]
+    if dggs == "s2":
+        step = S.cell_width_deg(res) / 4.0
+        enc = lambda src, r, keep, out: G.s2_select_sql(  # noqa: E731
+            src, "sy", "sx", r, keep, dialect="duckdb", out=out)
+        seg_start = False
+    elif dggs == "a5":
+        step = A.cell_width_deg(res) / 4.0
+        enc = lambda src, r, keep, out: a5_select_sql(  # noqa: E731
+            src, "sy", "sx", r, keep, out=out)
+        seg_start = False
+    else:
+        step = R.cell_width_deg(res) / 4.0
+        enc = lambda src, r, keep, out: G.rhp_select_sql(  # noqa: E731
+            src, "sy", "sx", r, keep, out=out)
+        seg_start = True
+    enc1 = enc("SELECT doc_id, sx, sy FROM pts", res, ["doc_id", "sx", "sy"], "cell")
+    enc2 = enc(enc1, pres, ["doc_id", "cell"], "p")
+    return f"""{_dense_sample_ctes(step, seg_start)}
+SELECT DISTINCT cell AS {dggs}_{res:02d}, doc_id, p AS {dggs}_{pres:02d}
+FROM ({enc2}) __f
+"""
+
+
 QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q01_pricing_summary": Q01,
     "q02_top_orders_per_customer": Q02,
@@ -2203,6 +2314,18 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q50_compaction_pipeline_h3": (_q_h3_compaction, _h3_compaction_oracle_sql()),
     "q51_polyfill_pipeline_s2": (_q_s2_polyfill, _s2_polyfill_oracle_sql()),
     "q52_polyfill_pipeline_a5": (_q_a5_polyfill, _a5_polyfill_oracle_sql()),
+    "q53_linetrace_pipeline_s2": (
+        lambda spark, sf_dir: _q_linetrace_backend(spark, sf_dir, "s2"),
+        _dense_linetrace_oracle_sql("s2"),
+    ),
+    "q54_linetrace_pipeline_a5": (
+        lambda spark, sf_dir: _q_linetrace_backend(spark, sf_dir, "a5"),
+        _dense_linetrace_oracle_sql("a5"),
+    ),
+    "q55_linetrace_pipeline_rhp": (
+        lambda spark, sf_dir: _q_linetrace_backend(spark, sf_dir, "rhp"),
+        _dense_linetrace_oracle_sql("rhp"),
+    ),
 }
 
 
