@@ -2147,6 +2147,51 @@ FROM ({enc7}) __f
 """
 
 
+def _line_dedup_sql(dialect: str, k: int = 8) -> str:
+    """q56 — exact-duplicate SEGMENT REMOVAL, the *apply* step the
+    dedup family lacked (q49 computes the Lee-et-al duplication signal;
+    CCNet/RefinedWeb-style pipelines then CUT corpus-duplicated
+    paragraphs out of the text).  The corpus has no newlines, so the
+    deterministic segmenter is non-overlapping ``k``-word blocks (the
+    last block may be shorter).  A block is removed iff its verbatim
+    content occurs in >= 2 DISTINCT documents; the cleaned document is
+    the surviving blocks rejoined in order.  All partial-aggregating
+    groupBys and equi-joins — no windows, no skew key (block hashes are
+    near-uniform), the 100-TB shape; the cleaned text is returned as
+    md5 + length (driver canonicalizer needs scalars)."""
+    if dialect == "spark":
+        base = (f"SELECT doc_id, toks, explode(sequence(1, size(toks), {k})) AS i"
+                " FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents) __t")
+        seg = f"concat_ws(' ', slice(toks, i, {k}))"
+        rebuild = ("array_join(transform(array_sort(collect_list(struct(i, seg)))"
+                   ", s -> s.seg), ' ')")
+    else:
+        base = (f"SELECT doc_id, toks, unnest(generate_series(1, len(toks), {k})) AS i"
+                " FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) __t")
+        seg = f"array_to_string(toks[i:i + {k - 1}], ' ')"
+        rebuild = "string_agg(seg, ' ' ORDER BY i)"
+    return f"""
+WITH s AS (SELECT doc_id, i, {seg} AS seg FROM ({base}) __b),
+g AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM s GROUP BY seg),
+j AS (SELECT s.doc_id, s.i, s.seg, g.nd FROM s JOIN g ON s.seg = g.seg),
+cnt AS (SELECT doc_id,
+               cast(count(*) as bigint) AS n_segments,
+               cast(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) as bigint) AS n_removed
+        FROM j GROUP BY doc_id),
+cln AS (SELECT doc_id, {rebuild} AS cleaned
+        FROM j WHERE nd < 2 GROUP BY doc_id)
+SELECT d.doc_id, c.n_segments, c.n_removed,
+       md5(coalesce(cl.cleaned, '')) AS cleaned_md5,
+       cast(length(coalesce(cl.cleaned, '')) as bigint) AS cleaned_len
+FROM (SELECT doc_id FROM documents) d
+JOIN cnt c ON d.doc_id = c.doc_id
+LEFT JOIN cln cl ON d.doc_id = cl.doc_id
+"""
+
+
+Q56 = _dialects(_line_dedup_sql("spark"), _line_dedup_sql("duckdb"))
+
+
 # ------------------------------- dense-sample linetrace oracles (q53-q55)
 # C6/C10/C18's linetrace is dense sampling at quarter-cell spacing +
 # per-doc dedup (dggs/{s2,a5,rhp}.py:linetrace; reference
@@ -2326,6 +2371,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
         lambda spark, sf_dir: _q_linetrace_backend(spark, sf_dir, "rhp"),
         _dense_linetrace_oracle_sql("rhp"),
     ),
+    "q56_segment_dedup_apply": Q56,
 }
 
 
