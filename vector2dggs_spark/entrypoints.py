@@ -2192,6 +2192,85 @@ LEFT JOIN cln cl ON d.doc_id = cl.doc_id
 Q56 = _dialects(_line_dedup_sql("spark"), _line_dedup_sql("duckdb"))
 
 
+def _seq_packing_sql(dialect: str, budget: int = 512, shards: int = 8) -> str:
+    """q57 — deterministic sequence packing: the GPT-style
+    concatenate-and-chunk layout step of a training pipeline.  Docs are
+    hash-sharded (content-independent md5 bucket, q45's reproducible
+    primitive — no rand()), deterministically ordered within the shard,
+    and laid head-to-tail; each doc reports its token offsets and the
+    fixed-``budget`` sequence window(s) it lands in.  The only
+    non-map-side op is a running sum windowed BY SHARD — shard count
+    grows with data so the per-partition state stays bounded at 100 TB
+    (never a global-order window)."""
+    if dialect == "spark":
+        ntok = "size(split(text, ' '))"
+        shard = f"cast(conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10) % {shards} as int)"
+        okey = "substring(md5(cast(doc_id as string)), 13, 16)"
+    else:
+        ntok = "len(string_split(text, ' '))"
+        shard = f"cast(('0x' || substring(md5(cast(doc_id as varchar)), 1, 12))::BIGINT % {shards} as int)"
+        okey = "substring(md5(cast(doc_id as varchar)), 13, 16)"
+    return f"""
+WITH t AS (SELECT doc_id, cast({ntok} as bigint) AS n_toks,
+                  {shard} AS shard, {okey} AS okey
+           FROM documents),
+c AS (SELECT doc_id, shard, n_toks,
+             sum(n_toks) OVER (PARTITION BY shard ORDER BY okey, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+SELECT doc_id, shard, n_toks,
+       cast(cum - n_toks as bigint) AS start_off,
+       cast(cum - 1 as bigint) AS end_off,
+       cast(floor(cast(cum - n_toks as double) / {G.dlit(float(budget))}) as bigint) AS first_seq,
+       cast(floor(cast(cum - 1 as double) / {G.dlit(float(budget))}) as bigint) AS last_seq
+FROM c
+"""
+
+
+Q57 = _dialects(_seq_packing_sql("spark"), _seq_packing_sql("duckdb"))
+
+
+def _decontamination_sql(dialect: str, k: int = 8) -> str:
+    """q58 — benchmark decontamination: flag training documents that
+    share any verbatim ``k``-word window with the held-out eval split
+    (the GPT-3-appendix / FineWeb n-gram overlap rule).  The eval split
+    is the deterministic doc_id % 50 = 0 subset; overlap is an
+    equi-join of train window hashes against the DISTINCT eval window
+    set — the broadcast-able small side of a real decontamination run
+    (eval suites are tiny next to the corpus)."""
+    if dialect == "spark":
+        toks = "split(text, ' ')"
+        sz = "size(toks)"
+        wins = (f"transform(sequence(1, cast(size(toks) as int) - {k - 1}),"
+                f" i -> md5(concat_ws(' ', slice(toks, i, {k}))))")
+        expl = "explode(wins)"
+    else:
+        toks = "string_split(text, ' ')"
+        sz = "len(toks)"
+        wins = (f"list_transform(generate_series(1, len(toks) - {k - 1}),"
+                f" i -> md5(array_to_string(toks[i:i + {k - 1}], ' ')))")
+        expl = "unnest(wins)"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+w AS (SELECT doc_id, {expl} AS wh
+      FROM (SELECT doc_id, {wins} AS wins FROM t WHERE {sz} >= {k}) __w),
+ev AS (SELECT DISTINCT wh FROM w WHERE doc_id % 50 = 0),
+tr AS (SELECT doc_id, wh FROM w WHERE doc_id % 50 <> 0),
+d AS (SELECT tr.doc_id,
+             cast(count(*) as bigint) AS n_windows,
+             cast(sum(CASE WHEN ev.wh IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+               AS hit_windows
+      FROM tr LEFT JOIN ev ON tr.wh = ev.wh
+      GROUP BY tr.doc_id)
+SELECT doc_id, n_windows, hit_windows,
+       cast(CASE WHEN hit_windows > 0 THEN 1 ELSE 0 END as int) AS contaminated
+FROM d
+"""
+
+
+Q58 = _dialects(_decontamination_sql("spark"), _decontamination_sql("duckdb"))
+
+
 # ------------------------------- dense-sample linetrace oracles (q53-q55)
 # C6/C10/C18's linetrace is dense sampling at quarter-cell spacing +
 # per-doc dedup (dggs/{s2,a5,rhp}.py:linetrace; reference
@@ -2372,6 +2451,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
         _dense_linetrace_oracle_sql("rhp"),
     ),
     "q56_segment_dedup_apply": Q56,
+    "q57_sequence_packing": Q57,
+    "q58_decontamination": Q58,
 }
 
 
