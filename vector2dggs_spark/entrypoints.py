@@ -2156,9 +2156,10 @@ def _line_dedup_sql(dialect: str, k: int = 8) -> str:
     last block may be shorter).  A block is removed iff its verbatim
     content occurs in >= 2 DISTINCT documents; the cleaned document is
     the surviving blocks rejoined in order.  All partial-aggregating
-    groupBys and equi-joins — no windows, no skew key (block hashes are
-    near-uniform), the 100-TB shape; the cleaned text is returned as
-    md5 + length (driver canonicalizer needs scalars)."""
+    groupBys and equi-joins — no windows, no skew key, and the
+    doc-frequency shuffle moves 32-char md5 keys, never the segment
+    text (the 100-TB shape); the cleaned text is returned as md5 +
+    length (driver canonicalizer needs scalars)."""
     if dialect == "spark":
         base = (f"SELECT doc_id, toks, explode(sequence(1, size(toks), {k})) AS i"
                 " FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents) __t")
@@ -2171,9 +2172,10 @@ def _line_dedup_sql(dialect: str, k: int = 8) -> str:
         seg = f"array_to_string(toks[i:i + {k - 1}], ' ')"
         rebuild = "string_agg(seg, ' ' ORDER BY i)"
     return f"""
-WITH s AS (SELECT doc_id, i, {seg} AS seg FROM ({base}) __b),
-g AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM s GROUP BY seg),
-j AS (SELECT s.doc_id, s.i, s.seg, g.nd FROM s JOIN g ON s.seg = g.seg),
+WITH s AS (SELECT doc_id, i, seg, md5(seg) AS sh
+           FROM (SELECT doc_id, i, {seg} AS seg FROM ({base}) __b) __s),
+g AS (SELECT sh, count(DISTINCT doc_id) AS nd FROM s GROUP BY sh),
+j AS (SELECT s.doc_id, s.i, s.seg, g.nd FROM s JOIN g ON s.sh = g.sh),
 cnt AS (SELECT doc_id,
                cast(count(*) as bigint) AS n_segments,
                cast(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) as bigint) AS n_removed
