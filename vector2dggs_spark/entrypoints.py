@@ -1916,11 +1916,23 @@ def _q_s2_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.cells
 
 
-def _s2_polyfill_oracle_sql() -> str:
-    """DuckDB restatement of the S2 polyfill (module comment above)."""
+def _s2_st_to_uv_sql(s: str) -> str:
+    """_st_to_uv with the kernel's exact op order (dggs/s2.py:128)."""
+    d = G.dlit
+    one, half, third, four = d(1.0), d(0.5), d(1.0 / 3.0), d(4.0)
+    return (f"(CASE WHEN {s} >= {half} THEN {third} * ({four} * {s} * {s} - {one})"
+            f" ELSE {third} * ({one} - {four} * ({one} - {s}) * ({one} - {s})) END)")
+
+
+def _s2_enum_ctes(corpus_sql: str) -> str:
+    """The q51 construction as a reusable piece: the ``WITH rect .. ins``
+    chain enumerating every level-``_S2PF_RES`` cell center strictly
+    inside its rect (module comment above q51).  ``ins`` carries the
+    face-0 quadtree lattice indices ``(li, lj)`` alongside the center,
+    so consumers can replay ID-free sibling merges in lattice space."""
     import numpy as np
 
-    res, pres = _S2PF_RES, _S2PF_PARENT
+    res = _S2PF_RES
     shift = 30 - res
     d = G.dlit
     RAD = d(np.pi / 180.0)
@@ -1929,17 +1941,13 @@ def _s2_polyfill_oracle_sql() -> str:
     STEP = d(float(1 << shift))    # leaf cells per level-`res` cell
     HALF = d((1 << (shift - 1)) + 0.5)  # kernel's center leaf offset
     MAXN = d(float(1 << 30))
-    one, half, third, four = d(1.0), d(0.5), d(1.0 / 3.0), d(4.0)
+    one, half = d(1.0), d(0.5)
+    st_to_uv = _s2_st_to_uv_sql
 
     def st(u: str) -> str:
         """_uv_to_st (monotone) — range mapping only, ulps irrelevant."""
         return (f"(CASE WHEN {u} >= {d(0.0)} THEN {half} * sqrt({one} + {d(3.0)} * {u})"
                 f" ELSE {one} - {half} * sqrt({one} - {d(3.0)} * {u}) END)")
-
-    def st_to_uv(s: str) -> str:
-        """_st_to_uv with the kernel's exact op order (dggs/s2.py:128)."""
-        return (f"(CASE WHEN {s} >= {half} THEN {third} * ({four} * {s} * {s} - {one})"
-                f" ELSE {third} * ({one} - {four} * ({one} - {s}) * ({one} - {s})) END)")
 
     # corner u depends on lon only (u = tan(lon), monotone on the face);
     # corner v = tan(lat)/cos(lon) — extremes at corners up to the
@@ -1948,13 +1956,8 @@ def _s2_polyfill_oracle_sql() -> str:
     ci = lambda s: f"cast(floor({s} * {d(LVL)}) as bigint)"  # noqa: E731
     vs = [vc("y0", "x0"), vc("y0", "x1"), vc("y1", "x0"), vc("y1", "x1")]
 
-    enc12 = G.s2_select_sql("SELECT doc_id, clat, clon FROM ins",
-                            "clat", "clon", res, ["doc_id", "clat", "clon"],
-                            dialect="duckdb", out="cell")
-    enc8 = G.s2_select_sql(enc12, "clat", "clon", pres, ["doc_id", "cell"],
-                           dialect="duckdb", out="p")
     return f"""
-WITH rect AS ({_s2_rect_corpus_sql()}),
+WITH rect AS ({corpus_sql}),
 rng AS (SELECT doc_id, x0, y0, x1, y1,
                {ci(st(f"tan(x0 * {RAD})"))} - 4 AS imin,
                {ci(st(f"tan(x1 * {RAD})"))} + 4 AS imax,
@@ -1965,24 +1968,176 @@ li AS (SELECT doc_id, x0, y0, x1, y1, jmin, jmax,
               unnest(generate_series(imin, imax)) AS li FROM rng),
 lj AS (SELECT doc_id, x0, y0, x1, y1, li,
               unnest(generate_series(jmin, jmax)) AS lj FROM li),
-st AS (SELECT doc_id, x0, y0, x1, y1,
+st AS (SELECT doc_id, x0, y0, x1, y1, li, lj,
               ((cast(li as double) * {STEP} + {HALF}) / {MAXN}) AS sc,
               ((cast(lj as double) * {STEP} + {HALF}) / {MAXN}) AS tc
        FROM lj),
-uv AS (SELECT doc_id, x0, y0, x1, y1,
+uv AS (SELECT doc_id, x0, y0, x1, y1, li, lj,
               {st_to_uv("sc")} AS uc, {st_to_uv("tc")} AS vcc
        FROM st),
-xr AS (SELECT doc_id, x0, y0, x1, y1, uc, vcc,
+xr AS (SELECT doc_id, x0, y0, x1, y1, li, lj, uc, vcc,
               sqrt(({one} + uc * uc) + vcc * vcc) AS rr
        FROM uv),
-ctr AS (SELECT doc_id, x0, y0, x1, y1,
+ctr AS (SELECT doc_id, x0, y0, x1, y1, li, lj,
                (asin(least(greatest(vcc / rr, {d(-1.0)}), {one})) * {DEG}) AS clat,
                (atan2(uc, {one}) * {DEG}) AS clon
         FROM xr),
-ins AS (SELECT doc_id, clat, clon FROM ctr
-        WHERE clon > x0 AND clon < x1 AND clat > y0 AND clat < y1)
+ins AS (SELECT doc_id, clat, clon, li, lj FROM ctr
+        WHERE clon > x0 AND clon < x1 AND clat > y0 AND clat < y1)"""
+
+
+def _s2_polyfill_oracle_sql() -> str:
+    """DuckDB restatement of the S2 polyfill (module comment above)."""
+    res, pres = _S2PF_RES, _S2PF_PARENT
+    enc12 = G.s2_select_sql("SELECT doc_id, clat, clon FROM ins",
+                            "clat", "clon", res, ["doc_id", "clat", "clon"],
+                            dialect="duckdb", out="cell")
+    enc8 = G.s2_select_sql(enc12, "clat", "clon", pres, ["doc_id", "cell"],
+                           dialect="duckdb", out="p")
+    return f"""{_s2_enum_ctes(_s2_rect_corpus_sql())}
 SELECT cell AS s2_{res:02d}, doc_id, p AS s2_{pres:02d}
 FROM ({enc8}) __f
+"""
+
+
+# ------------------------------------------ S2 compaction oracle (q59)
+# A2/A3 pinned on a FOURTH sibling arity: the S2 quadtree merges
+# complete 4-sets.  Unlike H3 (q50, ID bit math) the merge here is
+# replayed in LATTICE space — S2 is spatially nested on (s, t), so a
+# level-(l-1) parent is exactly (li // 2, lj // 2) of its four
+# level-l children, and the oracle never touches the engine's parent
+# or compact bit math at all: surviving cells at each level are
+# re-encoded from their interior center points through the PROVEN q31
+# layered Hilbert SQL at that level (and at the parent level for the
+# parent column).  The resolution floor (parent_res = 8) needs no
+# special case: the engine compacts past level 8 and re-expands back
+# to level-8 children (`_enforce_resolution_floor`), which yields the
+# same cell set as simply stopping the merge at level 8 — the chain
+# below stops there.
+# Reference parity: vectorindexer.py:124-196 (compaction_common) on
+# the S2 indexer's fixed-level covering.
+def _s2c_rect_corpus_sql(table: str = "events", id_col: str = "event_id") -> str:
+    """Rects deep inside cube face 0 sized for merges: small rects
+    0.25-0.49° complete level-11/-10/-9 sibling sets (level-12 cells
+    are 0.019-0.021° in this window); every ~377th 'big' rect is 1.0°,
+    which contains full level-8 footprints (~0.31°) and occasionally a
+    full level-7 footprint — absorbed exactly by the floor argument in
+    the module comment."""
+    lat = f"({G.dlit(-6.9)} + ({id_col} % 480) * {G.dlit(0.01)})"
+    lon = f"({G.dlit(-20.0)} + (({id_col} * 7) % 480) * {G.dlit(0.01)})"
+    big = f"{id_col} % 377 = 0"
+    w = f"(CASE WHEN {big} THEN {G.dlit(1.0)} ELSE {G.dlit(0.25)} + ({id_col} % 7) * {G.dlit(0.04)} END)"
+    h = f"(CASE WHEN {big} THEN {G.dlit(1.0)} ELSE {G.dlit(0.25)} + ({id_col} % 5) * {G.dlit(0.05)} END)"
+    return f"""
+SELECT doc_id,
+       (lon - w * {G.dlit(0.5)}) AS x0, (lat - h * {G.dlit(0.5)}) AS y0,
+       (lon + w * {G.dlit(0.5)}) AS x1, (lat + h * {G.dlit(0.5)}) AS y1
+FROM (
+  SELECT ('Q' || cast({id_col} as string)) AS doc_id,
+         {lat} AS lat, {lon} AS lon, {w} AS w, {h} AS h
+  FROM {table} WHERE {id_col} % 17 = 0) __r
+"""
+
+
+def _q_s2_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q59 — REAL pipeline (S2 polyfill + 4-sibling compaction) over
+    the merge-sized face-0 rect corpus."""
+    from pyspark.sql import functions as F
+
+    from vector2dggs_spark import index
+
+    load_views(spark, sf_dir)
+    corpus = spark.sql(_s2c_rect_corpus_sql())
+    s = lambda c: F.col(c).cast("string")  # noqa: E731 — Java shortest-repr
+    rect_wkt = F.concat(
+        F.lit("POLYGON (("),
+        s("x0"), F.lit(" "), s("y0"), F.lit(", "),
+        s("x1"), F.lit(" "), s("y0"), F.lit(", "),
+        s("x1"), F.lit(" "), s("y1"), F.lit(", "),
+        s("x0"), F.lit(" "), s("y1"), F.lit(", "),
+        s("x0"), F.lit(" "), s("y0"), F.lit("))"),
+    )
+    docs = corpus.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("geometry").alias("kind"),
+                rect_wkt.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    r = index(spark, docs, dggs="s2", resolution=_S2PF_RES,
+              parent_res=_S2PF_PARENT, cut_threshold_deg2=0, compact=True)
+    return r.cells
+
+
+def _s2_lvl_center_sql(src: str, lvl: int) -> str:
+    """doc_id + center lat/lon of each level-``lvl`` face-0 lattice
+    cell ``(li, lj)`` in ``src`` — the q51 center chain parameterized
+    by level, with the kernel's exact double ops (dggs/s2.py)."""
+    import numpy as np
+
+    d = G.dlit
+    DEG = d(float(np.degrees(1.0)))
+    shift = 30 - lvl
+    STEP = d(float(1 << shift))
+    HALF = d((1 << (shift - 1)) + 0.5)
+    MAXN = d(float(1 << 30))
+    one = d(1.0)
+    uv = _s2_st_to_uv_sql
+    return f"""
+SELECT doc_id,
+       (asin(least(greatest(vcc / rr, {d(-1.0)}), {one})) * {DEG}) AS clat,
+       (atan2(uc, {one}) * {DEG}) AS clon
+FROM (SELECT doc_id, uc, vcc, sqrt(({one} + uc * uc) + vcc * vcc) AS rr
+      FROM (SELECT doc_id, {uv("sc")} AS uc, {uv("tc")} AS vcc
+            FROM (SELECT doc_id,
+                         ((cast(li as double) * {STEP} + {HALF}) / {MAXN}) AS sc,
+                         ((cast(lj as double) * {STEP} + {HALF}) / {MAXN}) AS tc
+                  FROM {src}) __s) __q) __x"""
+
+
+def _s2_lvl_encode_sql(src: str, lvl: int, pres: int) -> str:
+    """One surviving-cell branch: centers of ``src`` re-encoded through
+    the proven layered SQL at ``lvl`` (cell) and ``pres`` (parent)."""
+    enc_c = G.s2_select_sql(_s2_lvl_center_sql(src, lvl), "clat", "clon", lvl,
+                            ["doc_id", "clat", "clon"], dialect="duckdb", out="cell")
+    enc_p = G.s2_select_sql(enc_c, "clat", "clon", pres, ["doc_id", "cell"],
+                            dialect="duckdb", out="p")
+    return f"SELECT doc_id, cell, p FROM ({enc_p}) __e{lvl}"
+
+
+def _s2_compaction_oracle_sql() -> str:
+    """DuckDB restatement of the S2 compaction pipeline (module comment
+    above): q51's lattice enumeration over the merge-sized corpus, the
+    iterative 4-sibling merge replayed level by level on ``(li // 2,
+    lj // 2)`` down to the parent_res floor, then per-level center
+    re-encode of every surviving cell."""
+    res, pres = _S2PF_RES, _S2PF_PARENT
+    ctes, prev = [], f"c{res}"
+    for lvl in range(res - 1, pres - 1, -1):
+        ctes.append(
+            f"g{lvl} AS (SELECT doc_id, li // 2 AS li, lj // 2 AS lj,\n"
+            f"                   count(*) AS n FROM {prev} GROUP BY 1, 2, 3)")
+        ctes.append(f"m{lvl} AS (SELECT doc_id, li, lj FROM g{lvl} WHERE n = 4)")
+        ctes.append(
+            f"k{lvl + 1} AS (SELECT a.doc_id, a.li, a.lj FROM {prev} a\n"
+            f"       LEFT JOIN m{lvl} m ON m.doc_id = a.doc_id\n"
+            f"                         AND m.li = a.li // 2 AND m.lj = a.lj // 2\n"
+            f"       WHERE m.li IS NULL)")
+        prev = f"m{lvl}"
+    branches = [_s2_lvl_encode_sql(f"k{lvl}", lvl, pres)
+                for lvl in range(res, pres, -1)]
+    branches.append(_s2_lvl_encode_sql(f"m{pres}", pres, pres))
+    union = "\nUNION ALL\n".join(branches)
+    merge = ",\n".join(ctes)
+    return f"""{_s2_enum_ctes(_s2c_rect_corpus_sql())},
+c{res} AS (SELECT doc_id, li, lj FROM ins),
+{merge}
+SELECT cell AS s2_{res:02d}, doc_id, p AS s2_{pres:02d}
+FROM ({union}) __u
 """
 
 
@@ -2455,6 +2610,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q56_segment_dedup_apply": Q56,
     "q57_sequence_packing": Q57,
     "q58_decontamination": Q58,
+    "q59_compaction_pipeline_s2": (_q_s2_compaction, _s2_compaction_oracle_sql()),
 }
 
 
