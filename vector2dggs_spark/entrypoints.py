@@ -2218,24 +2218,68 @@ def _q_a5_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.cells
 
 
-def _a5_polyfill_oracle_sql() -> str:
-    """DuckDB restatement of the A5 polyfill (module comment above)."""
+def _a5_frame_consts() -> dict:
+    """Exact doubles of the face-1/quintant-0 frame (dggs/a5.py)."""
     import numpy as np
 
     from vector2dggs_spark.dggs import a5 as A
-    from vector2dggs_spark.functions.a5sql import a5_select_sql
 
-    res, pres, f0, q0 = _A5PF_RES, _A5PF_PARENT, _A5PF_FACE, _A5PF_QUINT
-    n = 1 << (res - 1)
-    d = G.dlit
-    RAD = d(np.pi / 180.0)
-    DEG = d(float(np.degrees(1.0)))
+    f0, q0 = _A5PF_FACE, _A5PF_QUINT
     v1x, v1y, v2x, v2y = (float(np.asarray(v).ravel()[0])
                           for v in A._vert_xy(np.array([f0]), np.array([q0])))
-    det = v1x * v2y - v2x * v1y
     cx, cy, cz = (float(v) for v in A.FACE_XYZ[f0])
     e1x, e1y, e1z = (float(v) for v in A._E1[f0])
     e2x, e2y, e2z = (float(v) for v in A._E2[f0])
+    return dict(v1x=v1x, v1y=v1y, v2x=v2x, v2y=v2y, det=v1x * v2y - v2x * v1y,
+                cx=cx, cy=cy, cz=cz, e1x=e1x, e1y=e1y, e1z=e1z,
+                e2x=e2x, e2y=e2y, e2z=e2z)
+
+
+def _a5_center_layers(src: str, n: int, carry: list[str]) -> str:
+    """``carry`` + (clat, clon) centers of quintant-lattice cells
+    ``(li, lj, od)`` at lattice size ``n`` (od 0 = up triangle at
+    ((li+1/3)/n, (lj+1/3)/n), od 1 = down at +2/3), via the kernel's
+    exact gnomonic chain (dggs/a5.py cell_to_lonlat).  ``src`` must
+    provide li, lj, od plus the carry columns.  Layered nested SELECTs
+    (cross-engine SQL rule: no lateral alias chains)."""
+    import numpy as np
+
+    K = _a5_frame_consts()
+    d = G.dlit
+    DEG = d(float(np.degrees(1.0)))
+    cols = ", ".join(carry)
+    oo = f"(CASE WHEN od = 1 THEN {d(2.0 / 3.0)} ELSE {d(1.0 / 3.0)} END)"
+    return f"""
+SELECT {cols},
+       (asin(least(greatest(p2 / pn, {d(-1.0)}), {d(1.0)})) * {DEG}) AS clat,
+       (atan2(p1 / pn, p0 / pn) * {DEG}) AS clon
+FROM (SELECT {cols}, p0, p1, p2,
+             sqrt((p0 * p0 + p1 * p1) + p2 * p2) AS pn
+      FROM (SELECT {cols},
+                   (({d(K['cx'])} + gx * {d(K['e1x'])}) + gy * {d(K['e2x'])}) AS p0,
+                   (({d(K['cy'])} + gx * {d(K['e1y'])}) + gy * {d(K['e2y'])}) AS p1,
+                   (({d(K['cz'])} + gx * {d(K['e1z'])}) + gy * {d(K['e2z'])}) AS p2
+            FROM (SELECT {cols},
+                         (sc * {d(K['v1x'])} + tc * {d(K['v2x'])}) AS gx,
+                         (sc * {d(K['v1y'])} + tc * {d(K['v2y'])}) AS gy
+                  FROM (SELECT {cols},
+                               ((cast(li as double) + {oo}) / {d(float(n))}) AS sc,
+                               ((cast(lj as double) + {oo}) / {d(float(n))}) AS tc
+                        FROM {src}) __b) __g) __p) __n"""
+
+
+def _a5_enum_ctes(corpus_sql: str, res: int) -> str:
+    """The q52 lattice enumeration as reusable WITH-clauses ending in
+    ``ins`` = (doc_id, li, lj, od, clat, clon) — the quintant-lattice
+    cells at ``res`` whose centers lie strictly inside each rect.
+    Margin +4 on the corner-projected (i, j) ranges; phantom
+    orientations land outside the rect and filter free."""
+    import numpy as np
+
+    K = _a5_frame_consts()
+    n = 1 << (res - 1)
+    d = G.dlit
+    RAD = d(np.pi / 180.0)
 
     def fwd_st(xc: str, yc: str) -> tuple[str, str]:
         """Corner (lon=xc, lat=yc, degrees) -> fractional (s, t) in the
@@ -2244,13 +2288,14 @@ def _a5_polyfill_oracle_sql() -> str:
         px = f"(cos({phi}) * cos({lam}))"
         py = f"(cos({phi}) * sin({lam}))"
         pz = f"sin({phi})"
-        dot = f"((({px} * {d(cx)}) + ({py} * {d(cy)})) + ({pz} * {d(cz)}))"
-        x = (f"((({px} * {d(e1x)}) + ({py} * {d(e1y)}) + ({pz} * {d(e1z)}))"
-             f" / {dot})")
-        y = (f"((({px} * {d(e2x)}) + ({py} * {d(e2y)}) + ({pz} * {d(e2z)}))"
-             f" / {dot})")
-        s = f"((({x}) * {d(v2y)} - {d(v2x)} * ({y})) / {d(det)})"
-        t = f"(({d(v1x)} * ({y}) - ({x}) * {d(v1y)}) / {d(det)})"
+        dot = (f"((({px} * {d(K['cx'])}) + ({py} * {d(K['cy'])}))"
+               f" + ({pz} * {d(K['cz'])}))")
+        x = (f"((({px} * {d(K['e1x'])}) + ({py} * {d(K['e1y'])})"
+             f" + ({pz} * {d(K['e1z'])})) / {dot})")
+        y = (f"((({px} * {d(K['e2x'])}) + ({py} * {d(K['e2y'])})"
+             f" + ({pz} * {d(K['e2z'])})) / {dot})")
+        s = f"((({x}) * {d(K['v2y'])} - {d(K['v2x'])} * ({y})) / {d(K['det'])})"
+        t = f"(({d(K['v1x'])} * ({y}) - ({x}) * {d(K['v1y'])}) / {d(K['det'])})"
         return s, t
 
     Ss, Ts = zip(*[fwd_st(cxn, cyn) for cxn, cyn in
@@ -2259,14 +2304,10 @@ def _a5_polyfill_oracle_sql() -> str:
                       f"cast(ceil(greatest({', '.join(es)}) * {d(float(n))}) as bigint) + 4")
     imin, imax = rng(Ss)
     jmin, jmax = rng(Ts)
-
-    enc10 = a5_select_sql("SELECT doc_id, clat, clon FROM ins",
-                          "clat", "clon", res, ["doc_id", "clat", "clon"],
-                          out="cell")
-    enc7 = a5_select_sql(enc10, "clat", "clon", pres, ["doc_id", "cell"],
-                         out="p")
+    carry = ["doc_id", "x0", "y0", "x1", "y1", "li", "lj", "od"]
+    ctr = _a5_center_layers("cand", n, carry)
     return f"""
-WITH rect AS ({_a5_rect_corpus_sql()}),
+WITH rect AS ({corpus_sql}),
 rng AS (SELECT doc_id, x0, y0, x1, y1,
                {imin} AS imin, {imax} AS imax,
                {jmin} AS jmin, {jmax} AS jmax
@@ -2275,30 +2316,157 @@ li AS (SELECT doc_id, x0, y0, x1, y1, jmin, jmax,
               unnest(generate_series(imin, imax)) AS li FROM rng),
 lj AS (SELECT doc_id, x0, y0, x1, y1, li,
               unnest(generate_series(jmin, jmax)) AS lj FROM li),
-bc AS (SELECT doc_id, x0, y0, x1, y1,
-              ((cast(li as double) + oo) / {d(float(n))}) AS sc,
-              ((cast(lj as double) + oo) / {d(float(n))}) AS tc
-       FROM lj, (VALUES ({d(1.0 / 3.0)}), ({d(2.0 / 3.0)})) __o(oo)),
-xy AS (SELECT doc_id, x0, y0, x1, y1,
-              (sc * {d(v1x)} + tc * {d(v2x)}) AS gx,
-              (sc * {d(v1y)} + tc * {d(v2y)}) AS gy
-       FROM bc),
-pv AS (SELECT doc_id, x0, y0, x1, y1,
-              (({d(cx)} + gx * {d(e1x)}) + gy * {d(e2x)}) AS p0,
-              (({d(cy)} + gx * {d(e1y)}) + gy * {d(e2y)}) AS p1,
-              (({d(cz)} + gx * {d(e1z)}) + gy * {d(e2z)}) AS p2
-       FROM xy),
-nv AS (SELECT doc_id, x0, y0, x1, y1, p0, p1, p2,
-              sqrt((p0 * p0 + p1 * p1) + p2 * p2) AS pn
-       FROM pv),
-ctr AS (SELECT doc_id, x0, y0, x1, y1,
-               (asin(least(greatest(p2 / pn, {d(-1.0)}), {d(1.0)})) * {DEG}) AS clat,
-               (atan2(p1 / pn, p0 / pn) * {DEG}) AS clon
-        FROM nv),
-ins AS (SELECT doc_id, clat, clon FROM ctr
-        WHERE clon > x0 AND clon < x1 AND clat > y0 AND clat < y1)
+cand AS (SELECT doc_id, x0, y0, x1, y1, li, lj, od
+         FROM lj, (VALUES (0), (1)) __o(od)),
+ctr AS ({ctr}),
+ins AS (SELECT doc_id, li, lj, od, clat, clon FROM ctr
+        WHERE clon > x0 AND clon < x1 AND clat > y0 AND clat < y1)"""
+
+
+def _a5_polyfill_oracle_sql() -> str:
+    """DuckDB restatement of the A5 polyfill (module comment above)."""
+    from vector2dggs_spark.functions.a5sql import a5_select_sql
+
+    res, pres = _A5PF_RES, _A5PF_PARENT
+    enc10 = a5_select_sql("SELECT doc_id, clat, clon FROM ins",
+                          "clat", "clon", res, ["doc_id", "clat", "clon"],
+                          out="cell")
+    enc7 = a5_select_sql(enc10, "clat", "clon", pres, ["doc_id", "cell"],
+                         out="p")
+    return f"""{_a5_enum_ctes(_a5_rect_corpus_sql(), res)}
 SELECT cell AS a5_{res:02d}, doc_id, p AS a5_{pres:02d}
 FROM ({enc7}) __f
+"""
+
+
+# ------------------------------------------ A5 compaction oracle (q60)
+# A2/A3 pinned on the FIFTH sibling arity/geometry: the aperture-4
+# triangle quadtree merges complete 4-sets.  Like q59 the merge is
+# replayed in LATTICE space.  In the quintant frame a cell is
+# (li, lj, od): od 0 = "up" triangle anchored at (li/n, lj/n), od 1 =
+# "down" triangle point-reflected about ((li+1)/n, (lj+1)/n) — the
+# kernel's d=0 digit applies (s,t) -> (1-s, 1-t), a 180° rotation, so
+# orientation (not mirroring) is the only frame state.  Composing the
+# four inverse digit maps one level gives the parent rule
+#     parent = (li // 2, lj // 2),
+#     parent od = 1  iff  (li % 2) + (lj % 2) + od >= 2
+# (children of up(I,J): up(2I,2J), up(2I+1,2J), up(2I,2J+1),
+# down(2I,2J); of down(I,J): down(2I+1,2J), down(2I,2J+1),
+# down(2I+1,2J+1), up(2I+1,2J+1)) — verified against the kernel's
+# cell_to_parent bit op on 575 random cells across res 10/9/8.
+# Surviving cells at each level are re-encoded from their centers
+# through the PROVEN q34/q52 layered SQL at that level and at the
+# parent level; the resolution floor needs no special case (merge
+# simply stops at parent_res, the q59 argument).
+# Reference parity: vectorindexer.py:124-196 (compaction_common) on
+# the A5 indexer's fixed-res covering (a5vectorindexer.py:25).
+def _a5c_rect_corpus_sql(table: str = "events", id_col: str = "event_id") -> str:
+    """Merge-sized rects inside the q52 face-1/quintant-0 window: small
+    rects 0.30-0.60° complete res-9 (0.146°) and res-8 (0.29°) sibling
+    sets; every ~377th 'big' rect is 1.3°, containing full res-7
+    footprints (0.58°) — absorbed exactly by the floor argument.
+    Corners stay within 8.65-13.45°N x 39.65-45.55°E, interior to
+    q52's proven 8.25-13.75 x 39.25-45.75 envelope."""
+    lat = f"({G.dlit(9.3)} + ({id_col} % 480) * {G.dlit(0.0073)})"
+    lon = f"({G.dlit(40.3)} + (({id_col} * 7) % 480) * {G.dlit(0.0096)})"
+    big = f"{id_col} % 377 = 0"
+    w = f"(CASE WHEN {big} THEN {G.dlit(1.3)} ELSE {G.dlit(0.3)} + ({id_col} % 7) * {G.dlit(0.05)} END)"
+    h = f"(CASE WHEN {big} THEN {G.dlit(1.3)} ELSE {G.dlit(0.3)} + ({id_col} % 5) * {G.dlit(0.06)} END)"
+    return f"""
+SELECT doc_id,
+       (lon - w * {G.dlit(0.5)}) AS x0, (lat - h * {G.dlit(0.5)}) AS y0,
+       (lon + w * {G.dlit(0.5)}) AS x1, (lat + h * {G.dlit(0.5)}) AS y1
+FROM (
+  SELECT ('V' || cast({id_col} as string)) AS doc_id,
+         {lat} AS lat, {lon} AS lon, {w} AS w, {h} AS h
+  FROM {table} WHERE {id_col} % 19 = 0) __r
+"""
+
+
+def _q_a5_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q60 — REAL pipeline (A5 polyfill + 4-sibling compaction) over
+    the merge-sized quintant-interior rect corpus."""
+    from pyspark.sql import functions as F
+
+    from vector2dggs_spark import index
+
+    load_views(spark, sf_dir)
+    corpus = spark.sql(_a5c_rect_corpus_sql())
+    s = lambda c: F.col(c).cast("string")  # noqa: E731 — Java shortest-repr
+    rect_wkt = F.concat(
+        F.lit("POLYGON (("),
+        s("x0"), F.lit(" "), s("y0"), F.lit(", "),
+        s("x1"), F.lit(" "), s("y0"), F.lit(", "),
+        s("x1"), F.lit(" "), s("y1"), F.lit(", "),
+        s("x0"), F.lit(" "), s("y1"), F.lit(", "),
+        s("x0"), F.lit(" "), s("y0"), F.lit("))"),
+    )
+    docs = corpus.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("geometry").alias("kind"),
+                rect_wkt.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    r = index(spark, docs, dggs="a5", resolution=_A5PF_RES,
+              parent_res=_A5PF_PARENT, cut_threshold_deg2=0, compact=True)
+    return r.cells
+
+
+def _a5_lvl_encode_sql(src: str, lvl: int, pres: int) -> str:
+    """One surviving-cell branch: centers of the (li, lj, od) cells in
+    ``src`` at level ``lvl``, re-encoded through the proven layered SQL
+    at ``lvl`` (cell) and ``pres`` (parent — A5's triangle quadtree is
+    spatially nested, so the ancestor is a second encode)."""
+    from vector2dggs_spark.functions.a5sql import a5_select_sql
+
+    ctr = _a5_center_layers(f"(SELECT doc_id, li, lj, od FROM {src}) __s{lvl}",
+                            1 << (lvl - 1), ["doc_id"])
+    enc_c = a5_select_sql(ctr, "clat", "clon", lvl,
+                          ["doc_id", "clat", "clon"], out="cell")
+    enc_p = a5_select_sql(enc_c, "clat", "clon", pres, ["doc_id", "cell"],
+                          out="p")
+    return f"SELECT doc_id, cell, p FROM ({enc_p}) __e{lvl}"
+
+
+def _a5_compaction_oracle_sql() -> str:
+    """DuckDB restatement of the A5 compaction pipeline (module comment
+    above): q52's lattice enumeration over the merge-sized corpus, the
+    iterative 4-sibling merge replayed level by level with the
+    orientation-aware parent rule, then per-level center re-encode of
+    every surviving cell."""
+    res, pres = _A5PF_RES, _A5PF_PARENT
+    po = lambda t: (f"(CASE WHEN (({t}li % 2) + ({t}lj % 2)) + {t}od >= 2"  # noqa: E731
+                    f" THEN 1 ELSE 0 END)")
+    ctes, prev = [], f"c{res}"
+    for lvl in range(res - 1, pres - 1, -1):
+        ctes.append(
+            f"g{lvl} AS (SELECT doc_id, li // 2 AS pi, lj // 2 AS pj,\n"
+            f"                   {po('')} AS po, count(*) AS n\n"
+            f"            FROM {prev} GROUP BY 1, 2, 3, 4)")
+        ctes.append(f"m{lvl} AS (SELECT doc_id, pi AS li, pj AS lj, po AS od\n"
+                    f"            FROM g{lvl} WHERE n = 4)")
+        ctes.append(
+            f"k{lvl + 1} AS (SELECT a.doc_id, a.li, a.lj, a.od FROM {prev} a\n"
+            f"       LEFT JOIN m{lvl} m ON m.doc_id = a.doc_id\n"
+            f"                         AND m.li = a.li // 2 AND m.lj = a.lj // 2\n"
+            f"                         AND m.od = {po('a.')}\n"
+            f"       WHERE m.li IS NULL)")
+        prev = f"m{lvl}"
+    branches = [_a5_lvl_encode_sql(f"k{lvl}", lvl, pres)
+                for lvl in range(res, pres, -1)]
+    branches.append(_a5_lvl_encode_sql(f"m{pres}", pres, pres))
+    union = "\nUNION ALL\n".join(branches)
+    merge = ",\n".join(ctes)
+    return f"""{_a5_enum_ctes(_a5c_rect_corpus_sql(), res)},
+c{res} AS (SELECT doc_id, li, lj, od FROM ins),
+{merge}
+SELECT cell AS a5_{res:02d}, doc_id, p AS a5_{pres:02d}
+FROM ({union}) __u
 """
 
 
@@ -2611,6 +2779,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q57_sequence_packing": Q57,
     "q58_decontamination": Q58,
     "q59_compaction_pipeline_s2": (_q_s2_compaction, _s2_compaction_oracle_sql()),
+    "q60_compaction_pipeline_a5": (_q_a5_compaction, _a5_compaction_oracle_sql()),
 }
 
 
