@@ -143,6 +143,22 @@ def main():
         )
     )
 
+    q61 = QUERIES["q61_dsir_importance"][0](spark, sf)
+    sections.append(
+        (
+            "DSIR importance weighting (q61, round 5)",
+            "The per-bucket λ table is exactly 1024 rows, so the "
+            "doc-gram → λ join is a BroadcastHashJoin (map-side); the "
+            "only nested-loop in the plan is the single-row corpus-totals "
+            "CROSS JOIN (the q43/q46 scalar-stats pattern).  Bucket and "
+            "per-doc rollups are partial-aggregating HashAggregate pairs; "
+            "the final doc_id LEFT JOIN is a uniform-key equi-join.  "
+            "Plan-asserted in tests/test_entry_contract.py::"
+            "test_dsir_lambda_table_broadcasts.",
+            _plan(q61),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence for the key operators\n"]
     out.append("Generated by `scripts/dump_plans.py` (sf0.001, local[4]).\n")
     for title, commentary, plan in sections:

@@ -127,6 +127,18 @@ def test_cluster_size_is_not_a_window_over_cluster_id(spark):
     assert "HashAggregate" in plan  # sizes via partial-aggregating groupBy
 
 
+def test_dsir_lambda_table_broadcasts(spark):
+    """q61: the per-bucket λ table is exactly 1024 rows, so the
+    doc-gram → λ join must be a broadcast hash join; the only allowed
+    nested-loop is the single-row totals CROSS JOIN (the q43/q46
+    scalar-stats pattern), and nothing may go cartesian."""
+    fn, _ = QUERIES["q61_dsir_importance"]
+    plan = _executed_plan(fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row totals only
+
+
 def test_lsh_near_dup_subset_and_recall_vs_brute_force(spark):
     """q26 (banded) ⊆ q20 (brute force) with pinned fixture recall: the
     exact-cosine post-filter guarantees no false positives; banding loses
