@@ -1906,6 +1906,69 @@ LEFT JOIN d ON t2.doc_id = d.doc_id
 Q61 = _dialects(_dsir_sql("spark"), _dsir_sql("duckdb"))
 
 
+def _pii_scrub_sql(dialect: str) -> str:
+    """q62 — PII redaction, the scrub *apply* step every published
+    web-corpus pipeline runs (C4 / Raffel et al. 2020 removed
+    offensive+PII tokens; RefinedWeb and FineWeb redact emails/phones
+    with regex passes): replace email addresses and phone numbers with
+    typed placeholders and report per-doc redaction counts plus the
+    cleaned text's md5/length.
+
+    The PII-bearing corpus is SQL-derived from ``customer`` (the
+    engine-wide technique): per-key deterministic emails
+    (``customer.0000123@corp-N.example.com``) and dd-ddd-ddd-dddd
+    phones, with a 4-way presence mix (both / email-only / phone-only /
+    neither) so the scrubber sees every case.
+
+    Cross-engine regex portability: Java regex (Spark) vs RE2 (DuckDB)
+    agree only on the common subset — no backreferences, no
+    lookaround, ``[.]`` instead of backslash escapes (dialect escape
+    rules differ).  DuckDB's regexp_replace needs the explicit 'g'
+    flag (Spark replaces all matches by default).  Scale: pure
+    projection — zero shuffles, embarrassingly parallel at 100 TB."""
+    em = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+    ph = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    if dialect == "spark":
+        nmail = f"size(regexp_extract_all(text, '{em}', 0))"
+        nphone = f"size(regexp_extract_all(text, '{ph}', 0))"
+        clean = (f"regexp_replace(regexp_replace(text, '{em}', '<EMAIL>'),"
+                 f" '{ph}', '<PHONE>')")
+    else:
+        nmail = f"len(regexp_extract_all(text, '{em}'))"
+        nphone = f"len(regexp_extract_all(text, '{ph}'))"
+        clean = (f"regexp_replace(regexp_replace(text, '{em}', '<EMAIL>', 'g'),"
+                 f" '{ph}', '<PHONE>', 'g')")
+    phone = ("(cast((20 + (c_custkey % 80)) as string) || '-' || "
+             "cast((100 + (c_custkey % 900)) as string) || '-' || "
+             "cast((100 + ((c_custkey * 7) % 900)) as string) || '-' || "
+             "cast((1000 + ((c_custkey * 13) % 9000)) as string))")
+    return f"""
+WITH src AS (
+  SELECT c_custkey AS doc_id,
+         ('segment ' || c_mktsegment ||
+          (CASE WHEN c_custkey % 4 <= 1
+                THEN ' email ' || lower(replace(c_name, '#', '.')) ||
+                     '@corp-' || cast(c_nationkey as string) || '.example.com'
+                ELSE '' END) ||
+          (CASE WHEN c_custkey % 4 = 0 OR c_custkey % 4 = 2
+                THEN ' tel ' || {phone}
+                ELSE '' END) ||
+          ' account ' || c_name) AS text
+  FROM customer),
+red AS (SELECT doc_id, {nmail} AS ne, {nphone} AS np, {clean} AS clean
+        FROM src)
+SELECT doc_id,
+       cast(ne as bigint) AS n_emails,
+       cast(np as bigint) AS n_phones,
+       md5(clean) AS clean_md5,
+       cast(length(clean) as bigint) AS clean_len
+FROM red
+"""
+
+
+Q62 = _dialects(_pii_scrub_sql("spark"), _pii_scrub_sql("duckdb"))
+
+
 # --------------------------------------------- S2 polyfill oracle (q51)
 # C9/C10 were the last backends whose polygon fill had only structural
 # tests (VERDICT r04 "missing" #2).  Same construction as q47 (H3) /
@@ -2849,6 +2912,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q59_compaction_pipeline_s2": (_q_s2_compaction, _s2_compaction_oracle_sql()),
     "q60_compaction_pipeline_a5": (_q_a5_compaction, _a5_compaction_oracle_sql()),
     "q61_dsir_importance": Q61,
+    "q62_pii_redaction": Q62,
 }
 
 
