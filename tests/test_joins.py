@@ -227,6 +227,65 @@ def test_knn_haversine_matches_brute_force_high_lat(spark):
     assert len(got) == n_q * k
 
 
+def test_range_join_haversine_matches_brute_force_high_lat(spark):
+    """range_join metric='haversine' returns EXACTLY the pairs within
+    the meter radius — at lat ~62° the lon shrinkage makes the
+    degree→meter guarantee conversion (worst-latitude bound) do real
+    work.  Also pins that the planar pair set genuinely differs."""
+    from vector2dggs_spark.operators.joins import range_join
+
+    rng = np.random.default_rng(11)
+    n_t, n_q = 400, 25
+    t = pd.DataFrame({
+        "target_id": [f"t{i:04d}" for i in range(n_t)],
+        "lat": rng.uniform(61.0, 63.0, n_t),
+        "lon": rng.uniform(5.0, 9.0, n_t),
+    })
+    q = pd.DataFrame({
+        "query_id": [f"q{i:03d}" for i in range(n_q)],
+        "lat": rng.uniform(61.2, 62.8, n_q),
+        "lon": rng.uniform(5.5, 8.5, n_q),
+    })
+    radius_m = 20_000.0
+    got = range_join(
+        spark.createDataFrame(q), spark.createDataFrame(t),
+        get_backend("geohash"), res=5, radius=radius_m, metric="haversine",
+    ).toPandas()
+
+    def hav(lat1, lon1, lat2, lon2):
+        p = np.pi / 180.0
+        a = (np.sin((lat2 - lat1) * p / 2) ** 2
+             + np.cos(lat1 * p) * np.cos(lat2 * p) * np.sin((lon2 - lon1) * p / 2) ** 2)
+        return 2 * np.arcsin(np.sqrt(a)) * 6371008.8
+
+    d = hav(q["lat"].to_numpy()[:, None], q["lon"].to_numpy()[:, None],
+            t["lat"].to_numpy()[None, :], t["lon"].to_numpy()[None, :])
+    exp = {(q["query_id"][i], t["target_id"][j])
+           for i, j in zip(*np.nonzero(d <= radius_m))}
+    assert {(r.query_id, r.target_id) for r in got.itertuples()} == exp
+    assert len(exp) > 0
+    # the same radius as a planar degree disk would give a different set
+    d2 = np.sqrt((q["lat"].to_numpy()[:, None] - t["lat"].to_numpy()[None, :]) ** 2
+                 + (q["lon"].to_numpy()[:, None] - t["lon"].to_numpy()[None, :]) ** 2)
+    planar = {(q["query_id"][i], t["target_id"][j])
+              for i, j in zip(*np.nonzero(d2 <= radius_m / 111_195.0))}
+    assert planar != exp
+
+
+def test_range_join_uncoverable_radius_raises(spark):
+    """A radius the guarantee cannot cover within max_ring must fail
+    loudly at plan time, not silently drop far pairs."""
+    from vector2dggs_spark.operators.joins import range_join
+
+    pts = pd.DataFrame({"pid": ["a"], "lat": [0.0], "lon": [0.0]})
+    df = spark.createDataFrame(pts)
+    with pytest.raises(ValueError, match="not coverable"):
+        range_join(df.withColumnRenamed("pid", "query_id"),
+                   df.withColumnRenamed("pid", "target_id"),
+                   get_backend("geohash"), res=6, radius=30.0,
+                   metric="planar", max_ring=4)
+
+
 def test_knn_releases_per_round_caches(spark):
     """ADVICE r02: after knn returns, executor storage must hold exactly
     one extra cached dataset (the returned result) — not one per ring

@@ -191,6 +191,41 @@ def _q_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q27 = (_q_knn_haversine, _KNN_HAV_ORACLE)
 
+# Fixed-radius spatial range join (distance join) — kNN's sibling
+# operator (operators/joins.py:range_join): cover + refine with a
+# PLAN-TIME ring count from the backend guarantee, one cell equi-join,
+# exact-distance filter.  Planar degree metric = arithmetic-only, so
+# the brute-force DuckDB oracle reproduces every double bit-for-bit.
+_RANGE_RADIUS_DEG = 0.06
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from vector2dggs_spark.dggs import get_backend
+    from vector2dggs_spark.operators.joins import range_join
+
+    load_views(spark, sf_dir)
+    pts = spark.sql(PTS)
+    queries = pts.where(F.col("point_id") < 40).withColumnRenamed("point_id", "query_id")
+    targets = pts.withColumnRenamed("point_id", "target_id")
+    out = range_join(queries, targets, get_backend("geohash"), res=5,
+                     radius=_RANGE_RADIUS_DEG)
+    return out.select("query_id", "target_id", "dist_sq")
+
+
+_SQDD = ("((q.lat - t.lat) * (q.lat - t.lat)"
+         " + (q.lon - t.lon) * (q.lon - t.lon))")
+_RANGE_ORACLE = f"""
+WITH pts AS ({PTS}), q AS (SELECT * FROM pts WHERE point_id < 40)
+SELECT q.point_id AS query_id, t.point_id AS target_id,
+       {_SQDD} AS dist_sq
+FROM q CROSS JOIN pts t
+WHERE {_SQDD} <= {G.dlit(_RANGE_RADIUS_DEG * _RANGE_RADIUS_DEG)}
+"""
+
+Q63 = (_q_range_join, _RANGE_ORACLE)
+
 # ---------------------------------------------------------------- dedup / text
 Q07 = _shared(
     """
@@ -2913,6 +2948,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q60_compaction_pipeline_a5": (_q_a5_compaction, _a5_compaction_oracle_sql()),
     "q61_dsir_importance": Q61,
     "q62_pii_redaction": Q62,
+    "q63_range_join": Q63,
 }
 
 

@@ -217,6 +217,113 @@ def _haversine_guarantee_m(qlat: Column, g_deg: float) -> Column:
     return F.least(F.lit(m_rad), lon_case) * F.lit(EARTH_R_M)
 
 
+def _rings_for_radius(
+    backend: Backend, res: int, radius: float, metric: str,
+    lat_bound_deg: float, max_ring: int,
+) -> int:
+    """Smallest ring count r whose guarantee bound proves every point
+    within ``radius`` of a query lies inside grid-disk(r) of the
+    query's cell.  For haversine the backend's planar degree guarantee
+    is converted to meters at the worst (largest-|lat|) query latitude
+    — the scalar mirror of ``_haversine_guarantee_m``'s column math."""
+    import math
+
+    for r in range(1, max_ring + 1):
+        g_deg = backend.ring_guarantee_deg(res, r)
+        if metric == "planar":
+            if g_deg >= radius:
+                return r
+            continue
+        m_rad = min(math.radians(g_deg / math.sqrt(2.0)), math.pi)
+        phi = math.radians(lat_bound_deg)
+        cos2 = max(math.cos(abs(phi) + m_rad), 0.0)
+        lon_case = 2.0 * math.asin(
+            math.sqrt(math.cos(phi) * cos2) * math.sin(m_rad / 2.0)
+        )
+        if min(m_rad, lon_case) * EARTH_R_M >= radius:
+            return r
+    raise ValueError(
+        f"radius {radius} not coverable within {max_ring} rings at res {res}"
+        " — use a coarser res or raise max_ring"
+    )
+
+
+def range_join(
+    queries: DataFrame,
+    targets: DataFrame,
+    backend: Backend,
+    res: int,
+    radius: float,
+    query_id: str = "query_id",
+    target_id: str = "target_id",
+    metric: str = "planar",
+    max_ring: int = 256,
+) -> DataFrame:
+    """Fixed-radius spatial range join (distance join) — kNN's sibling:
+    every (query, target) pair within ``radius`` (degrees of planar
+    degree distance for ``metric="planar"``, great-circle meters for
+    ``"haversine"``).
+
+    Cover + refine, the classic distributed DJ shape: the ring count is
+    a PLAN-TIME constant derived from the backend's guarantee bound
+    (``Backend.ring_guarantee_deg``, the same bound that terminates
+    kNN), so unlike kNN there is no data-dependent driver loop — one
+    disk explode, one cell equi-join, one exact-distance filter.  For
+    haversine the degree→meter conversion needs the corpus latitude
+    bound: one 1-row aggregation (bounded control flow, the cc.py
+    pattern).  At scale the join is a hash equi-join on cell — the same
+    key as ``cell_join``, so the salting notes there apply to hot
+    cells.
+
+    Returns (query_id, target_id, dist_sq | dist_m).  Reference parity:
+    the reference has no distance join; this generalizes its spatial
+    join (J1) the way kNN (J3) generalizes lookup.
+    """
+    if metric not in ("planar", "haversine"):
+        raise ValueError(f"unknown range_join metric {metric!r}")
+    dist_col = "dist_sq" if metric == "planar" else "dist_m"
+
+    cell_udf = point_to_cell_udf(backend, res)
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col("lat").alias("__qlat"),
+        F.col("lon").alias("__qlon"),
+    ).withColumn("__qcell", cell_udf("__qlat", "__qlon"))
+    t = targets.select(
+        F.col(target_id).alias("__tid"),
+        F.col("lat").alias("__tlat"),
+        F.col("lon").alias("__tlon"),
+    ).withColumn("__cell", cell_udf("__tlat", "__tlon"))
+
+    if metric == "planar":
+        lat_bound = 0.0
+        thresh = radius * radius
+        dist = sq_degree_dist(
+            F.col("__qlat"), F.col("__qlon"), F.col("__tlat"), F.col("__tlon")
+        )
+    else:
+        row = q.agg(F.max(F.abs(F.col("__qlat")))).collect()[0]
+        lat_bound = float(row[0]) if row[0] is not None else 0.0
+        thresh = radius
+        dist = haversine_m(
+            F.col("__qlat"), F.col("__qlon"), F.col("__tlat"), F.col("__tlon")
+        )
+    r = _rings_for_radius(backend, res, radius, metric, lat_bound, max_ring)
+
+    return (
+        q.withColumn(
+            "__cell", F.explode(F.array_distinct(grid_disk_udf(backend, res, r)("__qcell")))
+        )
+        .join(t, "__cell")
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__tid").alias(target_id),
+            dist.alias(dist_col),
+        )
+        .where(F.col(dist_col) <= F.lit(thresh))
+    )
+
+
 def knn(
     queries: DataFrame,
     targets: DataFrame,
