@@ -227,11 +227,16 @@ def test_knn_haversine_matches_brute_force_high_lat(spark):
     assert len(got) == n_q * k
 
 
-def test_range_join_haversine_matches_brute_force_high_lat(spark):
+@pytest.mark.parametrize("dggs", ["geohash", "rhp", "h3", "s2", "a5"])
+def test_range_join_haversine_matches_brute_force_high_lat(spark, dggs):
     """range_join metric='haversine' returns EXACTLY the pairs within
     the meter radius — at lat ~62° the lon shrinkage makes the
     degree→meter guarantee conversion (worst-latitude bound) do real
-    work.  Also pins that the planar pair set genuinely differs."""
+    work.  Parameterized over ALL FIVE backends: the brute-force
+    oracle is grid-free, so exactness here pins each backend's
+    grid_disk + ring_guarantee_deg pair (a disk that under-covers or a
+    bound that overstates its guarantee would drop true pairs).  Also
+    pins that the planar pair set genuinely differs."""
     from vector2dggs_spark.operators.joins import range_join
 
     rng = np.random.default_rng(11)
@@ -247,9 +252,12 @@ def test_range_join_haversine_matches_brute_force_high_lat(spark):
         "lon": rng.uniform(5.5, 8.5, n_q),
     })
     radius_m = 20_000.0
+    b = get_backend(dggs)
+    res = next(r for r in range(b.min_res, b.max_res + 1)
+               if b.cell_width_deg(r) <= 0.4)
     got = range_join(
         spark.createDataFrame(q), spark.createDataFrame(t),
-        get_backend("geohash"), res=5, radius=radius_m, metric="haversine",
+        b, res=res, radius=radius_m, metric="haversine",
     ).toPandas()
 
     def hav(lat1, lon1, lat2, lon2):
