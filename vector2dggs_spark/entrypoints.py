@@ -2004,6 +2004,47 @@ FROM red
 Q62 = _dialects(_pii_scrub_sql("spark"), _pii_scrub_sql("duckdb"))
 
 
+def _corpus_profile_sql(dialect: str) -> str:
+    """q64 — exact corpus profiling: per-language token-count order
+    statistics (lower median, p90, p99, max) — the audit step run
+    before/after every filtering stage of a training-data pipeline.
+
+    Quantile semantics are EXPLICIT rank selection (kth order statistic
+    = smallest value whose cumulative count reaches k, k in pure
+    integer-on-double math both engines evaluate identically) — never
+    an engine ``percentile`` builtin, whose interpolation rules differ.
+
+    Scale design: the naive exact quantile (row_number over the corpus
+    per group) is a mega-partition window — the q42 anti-pattern.  This
+    is the HISTOGRAM formulation: groupBy (lang, n_toks) first (partial
+    map-side combine), then the cumulative window runs over the
+    AGGREGATED histogram, whose size is bounded by the value domain
+    (distinct token counts), not the corpus — at 100 TB the window
+    input stays thousands of rows per language."""
+    sz = ("size(split(text, ' '))" if dialect == "spark"
+          else "len(string_split(text, ' '))")
+    return f"""
+WITH t AS (SELECT doc_id, lang, cast({sz} as bigint) AS n_toks FROM documents),
+h AS (SELECT lang, n_toks, count(*) AS c FROM t GROUP BY lang, n_toks),
+tot AS (SELECT lang, sum(c) AS n, max(n_toks) AS mx FROM h GROUP BY lang),
+cum AS (SELECT lang, n_toks,
+               sum(c) OVER (PARTITION BY lang ORDER BY n_toks
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        FROM h)
+SELECT cum.lang,
+       cast(max(tot.n) as bigint) AS n_docs,
+       min(CASE WHEN cm >= floor((tot.n + 1) / 2.0) THEN n_toks END) AS med_toks,
+       min(CASE WHEN cm >= floor((9 * tot.n + 9) / 10.0) THEN n_toks END) AS p90_toks,
+       min(CASE WHEN cm >= floor((99 * tot.n + 99) / 100.0) THEN n_toks END) AS p99_toks,
+       cast(max(tot.mx) as bigint) AS max_toks
+FROM cum JOIN tot ON cum.lang = tot.lang
+GROUP BY cum.lang
+"""
+
+
+Q64 = _dialects(_corpus_profile_sql("spark"), _corpus_profile_sql("duckdb"))
+
+
 # --------------------------------------------- S2 polyfill oracle (q51)
 # C9/C10 were the last backends whose polygon fill had only structural
 # tests (VERDICT r04 "missing" #2).  Same construction as q47 (H3) /
@@ -2949,6 +2990,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q61_dsir_importance": Q61,
     "q62_pii_redaction": Q62,
     "q63_range_join": Q63,
+    "q64_corpus_profile": Q64,
 }
 
 
