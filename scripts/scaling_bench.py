@@ -32,6 +32,7 @@ N_DOCS = int(os.environ.get("SCALING_DOCS", "64000000"))
 N_TEXT = int(os.environ.get("SCALING_TEXT_DOCS", "600000"))
 N_VECS = int(os.environ.get("SCALING_VECS", "1000000"))
 N_EDGES = int(os.environ.get("SCALING_EDGES", "1000000"))
+N_RJ = int(os.environ.get("SCALING_RJ_TARGETS", "32000000"))
 
 WORKER = r"""
 import json, os, sys, time
@@ -138,6 +139,27 @@ def job_e(n):
     assert n_comp == -(-n // 1000), n_comp  # ceil: last block may be partial
     return n_comp
 
+def job_f(n):
+    # fixed-radius spatial range join (q63 operator, round 5): n
+    # targets vs n/20 queries on a 0.7x4.0-deg lattice, radius 0.002
+    # deg at geohash res 7 (2 rings).  Cover + refine: native
+    # WholeStageCodegen encode on BOTH sides (native_point_cells),
+    # grid-disk explode on the small query side only, one hash
+    # equi-join on cell, exact-distance filter (~248M result pairs at
+    # 32M targets).  No driver loop - the plan-time ring count comes
+    # from the backend guarantee bound.
+    from vector2dggs_spark.dggs import get_backend
+    from vector2dggs_spark.operators.joins import range_join
+    t = spark.range(n).selectExpr(
+        "cast(id as string) AS target_id",
+        f"({G.dlit(-44.4)} + (id % 700) * {G.dlit(0.001)}) AS lat",
+        f"({G.dlit(-176.6)} + ((id * 7) % 4000) * {G.dlit(0.001)}) AS lon")
+    q = spark.range(n // 20).selectExpr(
+        "cast(id as string) AS query_id",
+        f"({G.dlit(-44.35)} + (id % 650) * {G.dlit(0.001)}) AS lat",
+        f"({G.dlit(-176.55)} + ((id * 11) % 3900) * {G.dlit(0.001)}) AS lon")
+    return range_join(q, t, get_backend("geohash"), res=7, radius=0.002).count()
+
 if job == "A":
     t = median_of(lambda: job_a(n_points), 3)
     print("RESULT" + json.dumps({"cpus": cpus, "job": "A", "t": t, "rows": n_points}))
@@ -153,6 +175,10 @@ elif job == "E":
     n = int(os.environ.get("SCALING_EDGES", "1000000"))
     t = median_of(lambda: job_e(n), 3)
     print("RESULT" + json.dumps({"cpus": cpus, "job": "E", "t": t, "rows": n}))
+elif job == "F":
+    n = int(os.environ.get("SCALING_RJ_TARGETS", "32000000"))
+    t = median_of(lambda: job_f(n), 3)
+    print("RESULT" + json.dumps({"cpus": cpus, "job": "F", "t": t, "rows": n}))
 else:
     # job B input: identical parquet for every parallelism level
     docs_path = f"/tmp/v2dggs_scaling/docs_native_{n_docs}.parquet"
@@ -215,15 +241,18 @@ def machine_ceiling() -> float:
     return measure(32) / measure(8)
 
 
-JOB_ROWS = {"A": N_POINTS, "B": N_DOCS, "C": N_TEXT, "D": N_VECS, "E": N_EDGES}
+JOB_ROWS = {"A": N_POINTS, "B": N_DOCS, "C": N_TEXT, "D": N_VECS, "E": N_EDGES,
+            "F": N_RJ}
 JOB_DESC = {
     "A": f"A. native point index (geohash r9, {N_POINTS:,} pts, WholeStageCodegen)",
     "B": f"B. point-documents pipeline ({N_DOCS:,} interleaved docs, r9, Arrow-UDF path)",
     "C": f"C. MinHash-LSH near-dup (q12 plan, {N_TEXT:,} synthetic text docs, native SQL)",
     "D": f"D. hyperplane-LSH embedding near-dup (q32 Arrow path, {N_VECS:,} 64-dim vectors, 8x24-bit bands)",
     "E": f"E. connected components (large/small-star, {N_EDGES:,} edges, 1000-node planted clusters)",
+    "F": f"F. fixed-radius range join (q63, {N_RJ:,} targets vs {N_RJ // 20:,} queries, ~248M pairs)",
 }
-JOB_UNIT = {"A": "pts/s", "B": "cells/s", "C": "docs/s", "D": "vecs/s", "E": "edges/s"}
+JOB_UNIT = {"A": "pts/s", "B": "cells/s", "C": "docs/s", "D": "vecs/s", "E": "edges/s",
+            "F": "targets/s"}
 
 
 def main():

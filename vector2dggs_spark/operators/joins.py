@@ -258,6 +258,7 @@ def range_join(
     target_id: str = "target_id",
     metric: str = "planar",
     max_ring: int = 256,
+    broadcast_queries: bool = False,
 ) -> DataFrame:
     """Fixed-radius spatial range join (distance join) — kNN's sibling:
     every (query, target) pair within ``radius`` (degrees of planar
@@ -283,17 +284,31 @@ def range_join(
         raise ValueError(f"unknown range_join metric {metric!r}")
     dist_col = "dist_sq" if metric == "planar" else "dist_m"
 
-    cell_udf = point_to_cell_udf(backend, res)
-    q = queries.select(
-        F.col(query_id).alias("__qid"),
-        F.col("lat").alias("__qlat"),
-        F.col("lon").alias("__qlon"),
-    ).withColumn("__qcell", cell_udf("__qlat", "__qlon"))
-    t = targets.select(
-        F.col(target_id).alias("__tid"),
-        F.col("lat").alias("__tlat"),
-        F.col("lon").alias("__tlon"),
-    ).withColumn("__cell", cell_udf("__tlat", "__tlon"))
+    def _with_cell(df, lat, lon, keep, out):
+        # zero-Python encode where the backend has one (geohash/rhp) —
+        # the dominant cost at scale is the target-side encode, and the
+        # native path keeps it in WholeStageCodegen
+        native = backend.native_point_cells(df, lat, lon, res, keep, out=out)
+        if native is not None:
+            return native
+        return df.select(*keep, point_to_cell_udf(backend, res)(lat, lon).alias(out))
+
+    q = _with_cell(
+        queries.select(
+            F.col(query_id).alias("__qid"),
+            F.col("lat").alias("__qlat"),
+            F.col("lon").alias("__qlon"),
+        ),
+        "__qlat", "__qlon", ["__qid", "__qlat", "__qlon"], "__qcell",
+    )
+    t = _with_cell(
+        targets.select(
+            F.col(target_id).alias("__tid"),
+            F.col("lat").alias("__tlat"),
+            F.col("lon").alias("__tlon"),
+        ),
+        "__tlat", "__tlon", ["__tid", "__tlat", "__tlon"], "__cell",
+    )
 
     if metric == "planar":
         lat_bound = 0.0
@@ -310,11 +325,20 @@ def range_join(
         )
     r = _rings_for_radius(backend, res, radius, metric, lat_bound, max_ring)
 
+    qx = q.withColumn(
+        "__cell", F.explode(F.array_distinct(grid_disk_udf(backend, res, r)("__qcell")))
+    )
+    # Catalyst's size estimate for the exploded query side predates the
+    # (2r+1)²-fold explode, so it routinely under-estimates into an
+    # auto-broadcast — a multi-million-row broadcast is a serial driver
+    # bottleneck (measured: 1.31x 8→32 scaling with the broadcast vs
+    # 2.4x with the shuffled hash join).  Default to a per-partition
+    # hash join on the target side; ``broadcast_queries=True`` is the
+    # escape hatch for genuinely tiny query sets.
+    joined = (F.broadcast(qx).join(t, "__cell") if broadcast_queries
+              else qx.join(t.hint("shuffle_hash"), "__cell"))
     return (
-        q.withColumn(
-            "__cell", F.explode(F.array_distinct(grid_disk_udf(backend, res, r)("__qcell")))
-        )
-        .join(t, "__cell")
+        joined
         .select(
             F.col("__qid").alias(query_id),
             F.col("__tid").alias(target_id),
