@@ -159,6 +159,23 @@ def main():
         )
     )
 
+    q63 = QUERIES["q63_range_join"][0](spark, sf)
+    sections.append(
+        (
+            "Fixed-radius range join (q63, round 5)",
+            "Cover + refine with a plan-time ring count.  The join MUST "
+            "plan as a ShuffledHashJoin: Catalyst's size estimate for "
+            "the exploded query side predates the (2r+1)² grid-disk "
+            "explode and would auto-broadcast a multi-million-row side "
+            "(Job F measured 1.31x 8→32 with the broadcast vs 2.28x / "
+            "0.91 normalized with the shuffled hash join).  Target-side "
+            "point encode is the backend's native WholeStageCodegen "
+            "path.  Plan-asserted in tests/test_entry_contract.py::"
+            "test_range_join_never_broadcasts_the_exploded_side.",
+            _plan(q63),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence for the key operators\n"]
     out.append("Generated by `scripts/dump_plans.py` (sf0.001, local[4]).\n")
     for title, commentary, plan in sections:

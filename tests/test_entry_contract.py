@@ -127,6 +127,18 @@ def test_cluster_size_is_not_a_window_over_cluster_id(spark):
     assert "HashAggregate" in plan  # sizes via partial-aggregating groupBy
 
 
+def test_range_join_never_broadcasts_the_exploded_side(spark):
+    """Job F's scale find: Catalyst's size estimate for the exploded
+    query side predates the (2r+1)² grid-disk explode, so the default
+    plan auto-broadcast a multi-million-row side (1.31x 8→32 measured).
+    The operator must plan a shuffled hash join unless the caller opts
+    into broadcast_queries."""
+    fn, _ = QUERIES["q63_range_join"]
+    plan = _executed_plan(fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
 def test_dsir_lambda_table_broadcasts(spark):
     """q61: the per-bucket λ table is exactly 1024 rows, so the
     doc-gram → λ join must be a broadcast hash join; the only allowed

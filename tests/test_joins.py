@@ -182,11 +182,15 @@ def test_bucketed_cell_join_is_shuffle_free(spark, result):
         spark.sql("DROP TABLE IF EXISTS t_bright")
 
 
-def test_knn_haversine_matches_brute_force_high_lat(spark):
+@pytest.mark.parametrize("dggs", ["geohash", "rhp", "h3", "s2", "a5"])
+def test_knn_haversine_matches_brute_force_high_lat(spark, dggs):
     """metric='haversine' must return the true great-circle top-k.  At
     lat ~62° a degree of longitude is less than half a degree of
     latitude, so the planar ranking genuinely differs — this exercises
-    the per-query meter-space termination bound, not just the formula."""
+    the per-query meter-space termination bound, not just the formula.
+    Parameterized over ALL FIVE backends (round 5): the brute-force
+    oracle is grid-free, so exactness pins each backend's grid_disk /
+    grid_annulus / ring_guarantee_deg triple under the ring loop."""
     rng = np.random.default_rng(8)
     n_t, n_q, k = 300, 20, 4
     t = pd.DataFrame({
@@ -199,9 +203,12 @@ def test_knn_haversine_matches_brute_force_high_lat(spark):
         "lat": rng.uniform(61.2, 62.8, n_q),
         "lon": rng.uniform(5.5, 8.5, n_q),
     })
+    b = get_backend(dggs)
+    res = next(r for r in range(b.min_res, b.max_res + 1)
+               if b.cell_width_deg(r) <= 0.4)
     got = knn(
         spark.createDataFrame(q), spark.createDataFrame(t),
-        get_backend("geohash"), res=5, k=k, metric="haversine",
+        b, res=res, k=k, metric="haversine",
     ).toPandas()
 
     def hav(lat1, lon1, lat2, lon2):
