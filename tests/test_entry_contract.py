@@ -137,6 +137,11 @@ def test_range_join_never_broadcasts_the_exploded_side(spark):
     plan = _executed_plan(fn(spark, SF_DIR))
     assert "BroadcastHashJoin" not in plan
     assert "ShuffledHashJoin" in plan
+    # square-grid backends take the fully-native path: packed-coordinate
+    # int64 join keys and a codegen Chebyshev disk — zero Python
+    # anywhere in the operator (Backend.native_point_keys/disk_keys)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, marker
 
 
 def test_dsir_lambda_table_broadcasts(spark):

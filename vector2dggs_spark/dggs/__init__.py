@@ -100,6 +100,28 @@ class Backend:
         its oracle, not its hot path — so H3 returns None here)."""
         return None
 
+    def native_point_keys(self, df, lat: str, lon: str, res: int,
+                          keep_cols: list[str], out: str = "key"):
+        """Pure-JVM int64 CELL-IDENTITY key for equi-joins, or None.
+
+        NOT the Morton cell code: a join key only needs to identify
+        the cell, so square-grid backends emit the packed quantized
+        coordinates ``(x << lat_bits) | y`` — one multiply-add.  The
+        Morton spread chain doubles its expression tree per stage, and
+        Catalyst's join-key isnotnull pushdown SUBSTITUTES that whole
+        tree into a pre-join Filter (measured: the code-keyed join ran
+        1.75x SLOWER than the string-keyed one at 32M targets; the
+        packed-coordinate key is what makes int keys actually win)."""
+        return None
+
+    def native_disk_keys(self, df, lat: str, lon: str, res: int, k: int,
+                         keep_cols: list[str], out: str = "key"):
+        """Pure-JVM Chebyshev-disk(k) cell-identity keys around each
+        point's cell (one row per (point, disk cell)), or None.  Pairs
+        with ``native_point_keys`` so cover+refine joins (range_join)
+        run with zero Python and int64 join keys."""
+        return None
+
 
 class GeohashBackend(Backend):
     name = "geohash"
@@ -169,6 +191,64 @@ class GeohashBackend(Backend):
         from vector2dggs_spark.functions.sqlgen import geohash_col
 
         return df.select(*keep_cols, geohash_col(lat, lon, res).alias(out))
+
+    @staticmethod
+    def _xy_bits(res: int) -> tuple[int, int]:
+        total = 5 * res
+        lon_bits = (total + 1) // 2
+        return lon_bits, total - lon_bits
+
+    def _quantized_xy(self, df, lat, lon, res, keep_cols):
+        from pyspark.sql import functions as F
+
+        from vector2dggs_spark.functions import sqlgen as S
+
+        lon_bits, lat_bits = self._xy_bits(res)
+        return df.select(
+            *keep_cols,
+            F.expr(S.quantize_sql(lon, 180.0, 360.0, lon_bits)).alias("__gx"),
+            F.expr(S.quantize_sql(lat, 90.0, 180.0, lat_bits)).alias("__gy"),
+        )
+
+    def native_point_keys(self, df, lat, lon, res, keep_cols, out="key"):
+        from pyspark.sql import functions as F
+
+        lon_bits, lat_bits = self._xy_bits(res)
+        q = self._quantized_xy(df, lat, lon, res, keep_cols)
+        return q.select(
+            *keep_cols,
+            F.expr(f"(__gx << {lat_bits}) | __gy").alias(out),
+        )
+
+    def native_disk_keys(self, df, lat, lon, res, k, keep_cols, out="key"):
+        """Chebyshev frame on the quantized grid: ±k offsets on (x, y),
+        longitude wraps (pmod), latitude rows beyond the poles are
+        dropped (no such cell).  Falls back (None) if the frame could
+        self-overlap after the wrap (absurdly coarse res vs k)."""
+        from pyspark.sql import functions as F
+
+        lon_bits, lat_bits = self._xy_bits(res)
+        n_lon, n_lat = 1 << lon_bits, 1 << lat_bits
+        if 2 * k + 1 >= n_lon:
+            return None
+        q = self._quantized_xy(df, lat, lon, res, keep_cols)
+        offs = F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-k, k + 1) for dy in range(-k, k + 1)
+        ])
+        e = (
+            q.select(*keep_cols, "__gx", "__gy", F.explode(offs).alias("__o"))
+            .select(
+                *keep_cols,
+                F.expr(f"pmod(__gx + __o.dx, {n_lon})").alias("__gx"),
+                (F.col("__gy") + F.col("__o.dy")).alias("__gy"),
+            )
+            .where((F.col("__gy") >= 0) & (F.col("__gy") < n_lat))
+        )
+        return e.select(
+            *keep_cols,
+            F.expr(f"(__gx << {lat_bits}) | __gy").alias(out),
+        )
 
     def cell_boundary(self, cells, res):
         """(n, m, 2) [lon, lat] closed rings — geohash cells are lat/lon

@@ -293,21 +293,15 @@ def range_join(
             return native
         return df.select(*keep, point_to_cell_udf(backend, res)(lat, lon).alias(out))
 
-    q = _with_cell(
-        queries.select(
-            F.col(query_id).alias("__qid"),
-            F.col("lat").alias("__qlat"),
-            F.col("lon").alias("__qlon"),
-        ),
-        "__qlat", "__qlon", ["__qid", "__qlat", "__qlon"], "__qcell",
+    q_base = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col("lat").alias("__qlat"),
+        F.col("lon").alias("__qlon"),
     )
-    t = _with_cell(
-        targets.select(
-            F.col(target_id).alias("__tid"),
-            F.col("lat").alias("__tlat"),
-            F.col("lon").alias("__tlon"),
-        ),
-        "__tlat", "__tlon", ["__tid", "__tlat", "__tlon"], "__cell",
+    t_base = targets.select(
+        F.col(target_id).alias("__tid"),
+        F.col("lat").alias("__tlat"),
+        F.col("lon").alias("__tlon"),
     )
 
     if metric == "planar":
@@ -317,7 +311,7 @@ def range_join(
             F.col("__qlat"), F.col("__qlon"), F.col("__tlat"), F.col("__tlon")
         )
     else:
-        row = q.agg(F.max(F.abs(F.col("__qlat")))).collect()[0]
+        row = q_base.agg(F.max(F.abs(F.col("__qlat")))).collect()[0]
         lat_bound = float(row[0]) if row[0] is not None else 0.0
         thresh = radius
         dist = haversine_m(
@@ -325,9 +319,28 @@ def range_join(
         )
     r = _rings_for_radius(backend, res, radius, metric, lat_bound, max_ring)
 
-    qx = q.withColumn(
-        "__cell", F.explode(F.array_distinct(grid_disk_udf(backend, res, r)("__qcell")))
-    )
+    # fully-native integer-key path (square-grid backends): both the
+    # point encode and the Chebyshev disk are WholeStageCodegen, and
+    # the join key is a packed-coordinate int64 instead of a string
+    # cell — zero Python anywhere in the operator (see
+    # Backend.native_point_keys for why it is NOT the Morton code)
+    t_keep = ["__tid", "__tlat", "__tlon"]
+    q_keep = ["__qid", "__qlat", "__qlon"]
+    npc = getattr(backend, "native_point_keys", None)
+    ndc = getattr(backend, "native_disk_keys", None)
+    t_coded = (npc(t_base, "__tlat", "__tlon", res, t_keep, out="__cell")
+               if npc and ndc else None)
+    q_disk = (ndc(q_base, "__qlat", "__qlon", res, r, q_keep, out="__cell")
+              if t_coded is not None else None)
+    if q_disk is not None:
+        t, qx = t_coded, q_disk
+    else:
+        t = _with_cell(t_base, "__tlat", "__tlon", t_keep, "__cell")
+        q = _with_cell(q_base, "__qlat", "__qlon", q_keep, "__qcell")
+        qx = q.withColumn(
+            "__cell",
+            F.explode(F.array_distinct(grid_disk_udf(backend, res, r)("__qcell"))),
+        )
     # Catalyst's size estimate for the exploded query side predates the
     # (2r+1)²-fold explode, so it routinely under-estimates into an
     # auto-broadcast — a multi-million-row broadcast is a serial driver
