@@ -360,3 +360,46 @@ def test_knn_rhp_matches_brute_force(spark):
         want = set(t["target_id"].to_numpy()[order])
         have = set(got[got.query_id == qid].target_id)
         assert have == want, (qid, have, want)
+
+
+def test_knn_geohash_runs_fully_native(spark, monkeypatch):
+    """Round 5: the square-grid kNN loop runs on packed int64 keys with
+    codegen disk/annulus explodes — NO Python cell UDF may be built.
+    Poison every UDF constructor joins.py could fall back to; a sparse
+    fixture forces multiple rings so the annulus branch is exercised
+    too.  Exactness vs brute force is still asserted so the native
+    rewrite can't silently change results."""
+    import vector2dggs_spark.operators.joins as J
+
+    def _poisoned(*a, **k):
+        raise AssertionError("geohash kNN must not build a Python cell UDF")
+
+    monkeypatch.setattr(J, "point_to_cell_udf", _poisoned)
+    monkeypatch.setattr(J, "grid_disk_udf", _poisoned)
+    monkeypatch.setattr(J, "grid_annulus_udf", _poisoned)
+
+    rng = np.random.default_rng(11)
+    n_t, n_q, k = 60, 12, 3  # sparse: ring 1 cannot finish every query
+    t = pd.DataFrame({
+        "target_id": [f"t{i:03d}" for i in range(n_t)],
+        "lat": rng.uniform(-44.4, -43.7, n_t),
+        "lon": rng.uniform(-176.6, -176.2, n_t),
+    })
+    q = pd.DataFrame({
+        "query_id": [f"q{i:03d}" for i in range(n_q)],
+        "lat": rng.uniform(-44.4, -43.7, n_q),
+        "lon": rng.uniform(-176.6, -176.2, n_q),
+    })
+    got = knn(
+        spark.createDataFrame(q), spark.createDataFrame(t),
+        get_backend("geohash"), res=7, k=k,
+    ).toPandas()
+    d2 = (q["lat"].to_numpy()[:, None] - t["lat"].to_numpy()[None, :]) ** 2 + (
+        q["lon"].to_numpy()[:, None] - t["lon"].to_numpy()[None, :]
+    ) ** 2
+    for qi, qid in enumerate(q["query_id"]):
+        order = np.lexsort((t["target_id"].to_numpy(), d2[qi]))[:k]
+        exp_ids = [t["target_id"][j] for j in order]
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert sub["target_id"].tolist() == exp_ids, qid
+    assert len(got) == n_q * k

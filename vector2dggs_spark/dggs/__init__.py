@@ -115,11 +115,14 @@ class Backend:
         return None
 
     def native_disk_keys(self, df, lat: str, lon: str, res: int, k: int,
-                         keep_cols: list[str], out: str = "key"):
+                         keep_cols: list[str], out: str = "key",
+                         k_inner: int = 0):
         """Pure-JVM Chebyshev-disk(k) cell-identity keys around each
         point's cell (one row per (point, disk cell)), or None.  Pairs
         with ``native_point_keys`` so cover+refine joins (range_join)
-        run with zero Python and int64 join keys."""
+        and the kNN ring loop run with zero Python and int64 join keys.
+        ``k_inner > 0`` emits only the ANNULUS disk(k) \\ disk(k_inner)
+        (kNN's incremental round shape)."""
         return None
 
 
@@ -220,11 +223,20 @@ class GeohashBackend(Backend):
             F.expr(f"(__gx << {lat_bits}) | __gy").alias(out),
         )
 
-    def native_disk_keys(self, df, lat, lon, res, k, keep_cols, out="key"):
+    def native_disk_keys(self, df, lat, lon, res, k, keep_cols, out="key",
+                         k_inner=0):
         """Chebyshev frame on the quantized grid: ±k offsets on (x, y),
         longitude wraps (pmod), latitude rows beyond the poles are
-        dropped (no such cell).  Falls back (None) if the frame could
-        self-overlap after the wrap (absurdly coarse res vs k)."""
+        dropped (no such cell).  ``k_inner > 0`` keeps only offsets with
+        Chebyshev norm > k_inner (the kNN annulus).  Falls back (None)
+        if the frame could self-overlap after the wrap (absurdly coarse
+        res vs k).
+
+        Offsets come as a literal struct array for small disks (the
+        range_join regime, fewest plan nodes) and as a codegen
+        ``sequence()`` cross-explode for large/annulus frames (kNN's
+        doubling rings reach k=64: a 16k-literal array would bloat the
+        plan tree where two sequence explodes stay O(1) plan size)."""
         from pyspark.sql import functions as F
 
         lon_bits, lat_bits = self._xy_bits(res)
@@ -232,22 +244,46 @@ class GeohashBackend(Backend):
         if 2 * k + 1 >= n_lon:
             return None
         q = self._quantized_xy(df, lat, lon, res, keep_cols)
-        offs = F.array(*[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in range(-k, k + 1) for dy in range(-k, k + 1)
-        ])
-        e = (
-            q.select(*keep_cols, "__gx", "__gy", F.explode(offs).alias("__o"))
+        if k <= 4 and k_inner == 0:
+            offs = F.array(*[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in range(-k, k + 1) for dy in range(-k, k + 1)
+            ])
+            e = (
+                q.select(*keep_cols, "__gx", "__gy", F.explode(offs).alias("__o"))
+                .select(
+                    *keep_cols,
+                    F.expr(f"pmod(__gx + __o.dx, {n_lon})").alias("__gx"),
+                    (F.col("__gy") + F.col("__o.dy")).alias("__gy"),
+                )
+            )
+        else:
+            e = (
+                q.select(
+                    *keep_cols, "__gx", "__gy",
+                    F.explode(F.sequence(F.lit(-k), F.lit(k))).alias("__dx"),
+                )
+                .select(
+                    *keep_cols, "__gx", "__gy", "__dx",
+                    F.explode(F.sequence(F.lit(-k), F.lit(k))).alias("__dy"),
+                )
+                .where(
+                    F.greatest(F.abs(F.col("__dx")), F.abs(F.col("__dy")))
+                    > F.lit(k_inner)
+                    if k_inner > 0 else F.lit(True)
+                )
+                .select(
+                    *keep_cols,
+                    F.expr(f"pmod(__gx + __dx, {n_lon})").alias("__gx"),
+                    (F.col("__gy") + F.col("__dy")).alias("__gy"),
+                )
+            )
+        return (
+            e.where((F.col("__gy") >= 0) & (F.col("__gy") < n_lat))
             .select(
                 *keep_cols,
-                F.expr(f"pmod(__gx + __o.dx, {n_lon})").alias("__gx"),
-                (F.col("__gy") + F.col("__o.dy")).alias("__gy"),
+                F.expr(f"(__gx << {lat_bits}) | __gy").alias(out),
             )
-            .where((F.col("__gy") >= 0) & (F.col("__gy") < n_lat))
-        )
-        return e.select(
-            *keep_cols,
-            F.expr(f"(__gx << {lat_bits}) | __gy").alias(out),
         )
 
     def cell_boundary(self, cells, res):

@@ -421,17 +421,41 @@ def knn(
             return sq_degree_dist(qlat, qlon, tlat, tlon)
         return haversine_m(qlat, qlon, tlat, tlon)
 
-    cell_udf = point_to_cell_udf(backend, res)
-    q = queries.select(
+    q_base = queries.select(
         F.col(query_id).alias("__qid"),
         F.col("lat").alias("__qlat"),
         F.col("lon").alias("__qlon"),
-    ).withColumn("__qcell", cell_udf("__qlat", "__qlon"))
-    t = targets.select(
+    )
+    t_base = targets.select(
         F.col(target_id).alias("__tid"),
         F.col("lat").alias("__tlat"),
         F.col("lon").alias("__tlon"),
-    ).withColumn("__cell", cell_udf("__tlat", "__tlon")).cache()
+    )
+    # square-grid backends run the whole loop on packed-coordinate int64
+    # keys with codegen disk/annulus explodes — zero Python per round
+    # (same machinery as range_join; Backend.native_point_keys).  The
+    # disk probe uses max_ring so a mid-loop wrap-guard fallback can
+    # never strand an int-keyed target cache against string cells.
+    q_keep = ["__qid", "__qlat", "__qlon"]
+    npc = getattr(backend, "native_point_keys", None)
+    ndc = getattr(backend, "native_disk_keys", None)
+    t_keyed = (npc(t_base, "__tlat", "__tlon", res,
+                   ["__tid", "__tlat", "__tlon"], out="__cell")
+               if npc and ndc else None)
+    use_native = t_keyed is not None and ndc(
+        q_base, "__qlat", "__qlon", res, max_ring, q_keep, out="__cell"
+    ) is not None
+
+    if use_native:
+        # __qcell stays in the pending-state schema (checkpoint union
+        # below) but is never computed: the disk is re-derived from the
+        # carried coordinates each round
+        q = q_base.withColumn("__qcell", F.lit(None).cast("string"))
+        t = t_keyed.cache()
+    else:
+        cell_udf = point_to_cell_udf(backend, res)
+        q = q_base.withColumn("__qcell", cell_udf("__qlat", "__qlon"))
+        t = t_base.withColumn("__cell", cell_udf("__tlat", "__tlon")).cache()
 
     state = _IterState(queries.sparkSession)
     pending = q.cache()
@@ -446,15 +470,22 @@ def knn(
     r = 1
     r_prev = 0
     while r <= max_ring:
-        if annulus and r_prev > 0:
-            cells = F.array_distinct(
-                grid_annulus_udf(backend, res, r, r_prev)("__qcell")
+        if use_native:
+            k_in = r_prev if (annulus and r_prev > 0) else 0
+            exploded = backend.native_disk_keys(
+                pending, "__qlat", "__qlon", res, r,
+                ["__qid", "__qlat", "__qlon"], out="__cell", k_inner=k_in,
             )
         else:
-            cells = F.array_distinct(grid_disk_udf(backend, res, r)("__qcell"))
+            if annulus and r_prev > 0:
+                cells = F.array_distinct(
+                    grid_annulus_udf(backend, res, r, r_prev)("__qcell")
+                )
+            else:
+                cells = F.array_distinct(grid_disk_udf(backend, res, r)("__qcell"))
+            exploded = pending.withColumn("__cell", F.explode(cells))
         cand = (
-            pending.withColumn("__cell", F.explode(cells))
-            .join(t, "__cell")
+            exploded.join(t, "__cell")
             .select(
                 "__qid",
                 "__qlat",
@@ -553,12 +584,18 @@ def knn(
             found = found.unionByName(extra)
     if pending is not None and not pending.isEmpty() and r > max_ring:
         # fallback: exhausted ring budget — take best-effort top-k found
-        disk = grid_disk_udf(backend, res, max_ring)
-        cand = (
-            pending.withColumn(
+        if use_native:
+            exploded = backend.native_disk_keys(
+                pending, "__qlat", "__qlon", res, max_ring,
+                ["__qid", "__qlat", "__qlon"], out="__cell",
+            )
+        else:
+            disk = grid_disk_udf(backend, res, max_ring)
+            exploded = pending.withColumn(
                 "__cell", F.explode(F.array_distinct(disk("__qcell")))
             )
-            .join(t, "__cell")
+        cand = (
+            exploded.join(t, "__cell")
             .select(
                 "__qid",
                 "__qlat",
