@@ -173,3 +173,57 @@ def test_contract_shape():
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 14
+
+
+def test_delta_dedup_exact_tier(spark):
+    """q67's 'exact' tier never fires on the synthetic corpus (it has
+    no FULL-TEXT duplicates — its planted dups are segment-level), so
+    pin it on a constructed corpus: an incoming doc whose text appears
+    verbatim in the existing corpus must be 'exact' (taking priority
+    over 'near', which its identical signature also triggers), and the
+    Spark and DuckDB renderings must agree on the constructed corpus
+    too."""
+    import pandas as pd
+
+    from vector2dggs_spark.entrypoints import _delta_dedup_sql
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "alpha beta gamma delta epsilon",   # incoming, exact dup of 2
+            "alpha beta gamma delta epsilon",   # existing
+            "one two three four five six",      # incoming, unique
+            "seven eight nine ten eleven",      # existing
+        ],
+        "lang": ["en"] * 4,
+        "source": ["src0", "src9", "src1", "src9"],
+        "n_chars": [30, 30, 27, 26],
+    })
+    spark.createDataFrame(docs).createOrReplaceTempView("documents")
+    got = {r.doc_id: r.verdict
+           for r in spark.sql(_delta_dedup_sql("spark")).collect()}
+    assert got == {1: "exact", 3: "keep"}
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    exp = dict(con.execute(_delta_dedup_sql("duckdb")).fetchall())
+    assert exp == got
+
+
+def test_mixture_rebalance_hits_exact_quotas(spark, duck):
+    """q66's contract: per-source kept counts equal the integer quotas
+    EXACTLY (min(count_s, (w_s * (N div 2)) div sum(w))), and the
+    global ranks within a source are a permutation of 1..count_s — the
+    two-level (source, bucket) rank composes to a correct global rank
+    (the property that lets the exact-quota selection avoid a
+    whole-source window partition at scale)."""
+    from vector2dggs_spark.entrypoints import load_views
+
+    load_views(spark, SF_DIR)
+    fn, _ = QUERIES["q66_mixture_rebalance"]
+    pdf = fn(spark, SF_DIR).toPandas()
+    for src, grp in pdf.groupby("source"):
+        assert (grp.kept == 1).sum() == grp.quota.iloc[0]
+        assert sorted(grp.grank) == list(range(1, len(grp) + 1)), src
+        # kept docs are exactly the quota smallest global ranks
+        assert set(grp[grp.kept == 1].grank) == set(range(1, grp.quota.iloc[0] + 1))

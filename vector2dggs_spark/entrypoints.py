@@ -2914,6 +2914,126 @@ FROM ({enc2}) __f
 """
 
 
+def _mixture_rebalance_sql(dialect: str, buckets: int = 64) -> str:
+    """q66 — exact-quota mixture rebalancing (the apply step of
+    DoReMi / The-Pile-style domain weighting): given per-source target
+    weights, keep EXACTLY quota_s documents from each source, chosen by
+    a deterministic content-independent hash order (retries, engines
+    and re-runs agree; no rand()).
+
+    Quotas are pure integer math: quota_s = min(count_s,
+    (w_s * (N div 2)) div sum(w)) — the target corpus is half the
+    input, apportioned by weight.  Weights here derive from the source
+    id (w = id % 4 + 1) to keep the query self-contained; a real run
+    would join a tiny literal weight table (broadcast).
+
+    Scale design: exact selection needs a per-source rank, and a
+    row_number over PARTITION BY source is the q42 mega-partition
+    anti-pattern (a 100-TB corpus has billions of docs per source).
+    Two-level rank instead: bucket = TOP bits of the 48-bit order hash
+    (so buckets are contiguous runs of the order), rank within
+    (source, bucket) windows over N_s/buckets rows, and the global rank
+    adds the windowed cumulative count of earlier buckets (a
+    buckets-per-source-sized frame).  ``buckets`` scales with the data;
+    no window partition ever holds a whole source."""
+    if dialect == "spark":
+        h48 = "cast(conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint)"
+        bkt = f"cast(shiftright(h48, {48 - 6}) as int)"
+        idiv = "DIV"
+    else:
+        h48 = "('0x' || substring(md5(cast(doc_id as varchar)), 1, 12))::BIGINT"
+        bkt = f"cast(h48 >> {48 - 6} as int)"
+        idiv = "//"
+    return f"""
+WITH h AS (SELECT doc_id, source, {h48} AS h48 FROM documents),
+b AS (SELECT doc_id, source, h48, {bkt} AS bkt FROM h),
+bc AS (SELECT source, bkt, count(*) AS c FROM b GROUP BY source, bkt),
+off AS (SELECT source, bkt,
+               coalesce(sum(c) OVER (PARTITION BY source ORDER BY bkt
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+        FROM bc),
+rk AS (SELECT doc_id, source, bkt,
+              row_number() OVER (PARTITION BY source, bkt
+                                 ORDER BY h48, doc_id) AS rb
+       FROM b),
+tot AS (SELECT count(*) AS n FROM documents),
+w AS (SELECT source, count(*) AS cnt,
+             (cast(substring(source, 4) as int) % 4) + 1 AS wt
+      FROM documents GROUP BY source),
+sw AS (SELECT sum(wt) AS sumw FROM w),
+q AS (SELECT w.source,
+             least(w.cnt, (w.wt * (tot.n {idiv} 2)) {idiv} sw.sumw) AS quota
+      FROM w CROSS JOIN sw CROSS JOIN tot),
+g AS (SELECT rk.doc_id, rk.source, off.o + rk.rb AS grank
+      FROM rk JOIN off ON rk.source = off.source AND rk.bkt = off.bkt)
+SELECT g.doc_id, g.source, cast(g.grank as bigint) AS grank,
+       cast(q.quota as bigint) AS quota,
+       cast(CASE WHEN g.grank <= q.quota THEN 1 ELSE 0 END as int) AS kept
+FROM g JOIN q ON g.source = q.source
+"""
+
+
+Q66 = _dialects(_mixture_rebalance_sql("spark"), _mixture_rebalance_sql("duckdb"))
+
+
+def _delta_dedup_sql(dialect: str) -> str:
+    """q67 — cross-corpus delta dedup: dedup an INCOMING batch against
+    an EXISTING corpus (the CCNet / FineWeb "dedup against previous
+    dumps" step — within-corpus q39 dedup does not cover it: here
+    existing docs are immutable and only incoming docs can be dropped).
+
+    Incoming = sources src0-src3; existing = everything else.  Verdicts
+    per incoming doc: 'exact' (full-text md5 present in the existing
+    corpus), else 'near' (shares a banded MinHash bucket with any
+    existing doc — the q12/q39 signature machinery reused verbatim),
+    else 'keep'.  Docs under 3 tokens have no signature and can only be
+    exact-dropped, as in q39.
+
+    The synthetic corpus has no FULL-TEXT duplicates (its planted dups
+    are segment-level), so the exact tier is exercised structurally
+    here and pinned by a constructed-corpus pytest
+    (test_entry_contract.py::test_delta_dedup_exact_tier).
+
+    Scale shape: both tiers are equi-joins against DISTINCT projections
+    of the existing corpus (hash set / band set); the incoming batch is
+    the small side of every join and broadcasts.  Nothing rescans or
+    rewrites the existing corpus."""
+    base = _minhash_bands_cte(dialect)
+    inc_pred = "source IN ('src0', 'src1', 'src2', 'src3')"
+    return f"""{base},
+inc AS (SELECT doc_id FROM documents WHERE {inc_pred}),
+ex AS (SELECT doc_id FROM documents WHERE NOT ({inc_pred})),
+hx AS (SELECT doc_id, md5(text) AS hh FROM documents),
+ehash AS (SELECT DISTINCT hx.hh FROM hx JOIN ex ON hx.doc_id = ex.doc_id),
+exacts AS (SELECT DISTINCT hx.doc_id FROM hx
+           JOIN inc ON hx.doc_id = inc.doc_id
+           JOIN ehash ON hx.hh = ehash.hh),
+eband AS (SELECT DISTINCT b.band, b.bv FROM b JOIN ex ON b.doc_id = ex.doc_id),
+nears AS (SELECT DISTINCT b.doc_id FROM b
+          JOIN inc ON b.doc_id = inc.doc_id
+          JOIN eband ON b.band = eband.band AND b.bv = eband.bv)
+SELECT inc.doc_id,
+       CASE WHEN x.doc_id IS NOT NULL THEN 'exact'
+            WHEN n.doc_id IS NOT NULL THEN 'near'
+            ELSE 'keep' END AS verdict
+FROM inc
+LEFT JOIN exacts x ON inc.doc_id = x.doc_id
+LEFT JOIN nears n ON inc.doc_id = n.doc_id
+"""
+
+
+Q67 = _dialects(_delta_dedup_sql("spark"), _delta_dedup_sql("duckdb"))
+
+
+def _semdedup_q() -> tuple[Callable, str]:
+    from vector2dggs_spark.functions.textops import semdedup_sql
+
+    return _dialects(semdedup_sql("spark"), semdedup_sql("duckdb"))
+
+
+Q65 = _semdedup_q()
+
+
 QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q01_pricing_summary": Q01,
     "q02_top_orders_per_customer": Q02,
@@ -2991,6 +3111,9 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q62_pii_redaction": Q62,
     "q63_range_join": Q63,
     "q64_corpus_profile": Q64,
+    "q65_semdedup": Q65,
+    "q66_mixture_rebalance": Q66,
+    "q67_delta_dedup": Q67,
 }
 
 

@@ -367,3 +367,69 @@ SELECT doc_a, doc_b,
 FROM p
 WHERE cast(inter AS double) / cast(n_a + n_b - inter AS double) >= {thr}
 """
+
+
+def semdedup_sql(dialect: str, k: int = 16, threshold: float = 0.38,
+                 table: str = "embeddings") -> str:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings coarsely, then
+    drop within-cluster semantic duplicates above a cosine threshold.
+
+    Deterministic one-pass variant of the published construction (the
+    paper k-means-clusters then keeps one random member per dup group;
+    randomness is replaced by the engine-wide md5-order device):
+
+    * centroids = the ``k`` vectors with smallest md5(vec_id) — a
+      content-independent pseudo-random sample, stable across engines,
+      retries and re-runs;
+    * every vector joins its max-cosine centroid (ties by centroid id);
+    * within a cluster a vector is a DUPLICATE iff a cluster-mate with
+      smaller vec_id has cosine >= threshold (keep-lowest-id is the
+      deterministic stand-in for the paper's keep-one-random).
+
+    Scale shape: the centroid table is k rows (broadcast); assignment is
+    a broadcast nested-loop over N x k with a size-k argmax window per
+    vector (bounded partitions); the dup test is an equi-join on
+    cluster id — in the paper k grows with the corpus so cluster sizes
+    stay bounded and the within-cluster quadratic term never sees the
+    whole corpus.  Recall vs the brute-force q20 pair set is partial by
+    design (only same-cluster pairs are examined).
+
+    Cosines are sequential double folds (bit-exact across engines);
+    comparisons run on the raw doubles, rounding only at output."""
+    if dialect == "spark":
+        to_d = "transform(embedding, x -> cast(x as double))"
+        md5id = "md5(cast(vec_id as string))"
+        cdot = ("aggregate(zip_with(d.de, s.ce, (x, y) -> x * y), "
+                "cast(0.0 as double), (acc, v) -> acc + v)")
+        pdot = ("aggregate(zip_with(a.de, c.de, (x, y) -> x * y), "
+                "cast(0.0 as double), (acc, v) -> acc + v)")
+        nrm = ("aggregate(transform({v}, x -> x * x), "
+               "cast(0.0 as double), (acc, v) -> acc + v)")
+    else:
+        to_d = "embedding::DOUBLE[]"
+        md5id = "md5(cast(vec_id as varchar))"
+        cdot = ("list_reduce([d.de[i] * s.ce[i] for i in range(1, len(d.de) + 1)], "
+                "(acc, v) -> acc + v)")
+        pdot = ("list_reduce([a.de[i] * c.de[i] for i in range(1, len(a.de) + 1)], "
+                "(acc, v) -> acc + v)")
+        nrm = "list_reduce([{v}[i] * {v}[i] for i in range(1, len({v}) + 1)], (acc, v) -> acc + v)"
+    return f"""
+WITH d AS (SELECT vec_id, {to_d} AS de FROM {table}),
+seeds AS (SELECT vec_id AS cid, de AS ce FROM d
+          ORDER BY {md5id}, vec_id LIMIT {k}),
+sim AS (SELECT d.vec_id, s.cid,
+               {cdot} / (sqrt({nrm.format(v='d.de')}) * sqrt({nrm.format(v='s.ce')})) AS cs
+        FROM d CROSS JOIN seeds s),
+asg AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+          FROM sim) r WHERE rn = 1),
+dc AS (SELECT d.vec_id, a.cid, d.de FROM d JOIN asg a ON d.vec_id = a.vec_id),
+dup AS (SELECT DISTINCT c.vec_id
+        FROM dc a JOIN dc c ON a.cid = c.cid AND a.vec_id < c.vec_id
+        WHERE {pdot} / (sqrt({nrm.format(v='a.de')}) * sqrt({nrm.format(v='c.de')}))
+              >= {dlit(threshold)})
+SELECT dc.vec_id, cast(dc.cid as bigint) AS cluster_id,
+       cast(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END as int) AS keep
+FROM dc LEFT JOIN dup ON dc.vec_id = dup.vec_id
+"""
