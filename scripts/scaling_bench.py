@@ -33,6 +33,7 @@ N_TEXT = int(os.environ.get("SCALING_TEXT_DOCS", "600000"))
 N_VECS = int(os.environ.get("SCALING_VECS", "1000000"))
 N_EDGES = int(os.environ.get("SCALING_EDGES", "1000000"))
 N_RJ = int(os.environ.get("SCALING_RJ_TARGETS", "32000000"))
+N_KNN = int(os.environ.get("SCALING_KNN_TARGETS", "8000000"))
 
 WORKER = r"""
 import json, os, sys, time
@@ -160,6 +161,31 @@ def job_f(n):
         f"({G.dlit(-176.55)} + ((id * 11) % 3900) * {G.dlit(0.001)}) AS lon")
     return range_join(q, t, get_backend("geohash"), res=7, radius=0.002).count()
 
+
+def job_g(n):
+    # kNN ring expansion at scale (q06 operator, round 5 fully-native
+    # path): n targets vs n/20 queries on a sparse 2.8x16-deg lattice
+    # at geohash res 7 (~0.35 targets/cell), k=5 — most queries need
+    # ring 2, a tail needs ring 4, so the doubling loop, the annulus
+    # explode and the carried-top-k checkpoint all execute.  Both sides
+    # run packed-coordinate int64 keys with codegen sequence-explode
+    # disks: zero Python in any round.
+    from vector2dggs_spark.dggs import get_backend
+    from vector2dggs_spark.operators.joins import knn
+    t = spark.range(n).selectExpr(
+        "cast(id as string) AS target_id",
+        f"({G.dlit(-44.4)} + (id % 700) * {G.dlit(0.004)}) AS lat",
+        f"({G.dlit(-176.6)} + ((id * 7) % 4000) * {G.dlit(0.004)}) AS lon")
+    q = spark.range(n // 20).selectExpr(
+        "cast(id as string) AS query_id",
+        f"({G.dlit(-44.35)} + (id % 650) * {G.dlit(0.004)}) AS lat",
+        f"({G.dlit(-176.55)} + ((id * 11) % 3900) * {G.dlit(0.004)}) AS lon")
+    out = knn(q, t, get_backend("geohash"), res=7, k=5)
+    n_rows = out.count()
+    out.unpersist()
+    assert n_rows == (n // 20) * 5, n_rows
+    return n_rows
+
 if job == "A":
     t = median_of(lambda: job_a(n_points), 3)
     print("RESULT" + json.dumps({"cpus": cpus, "job": "A", "t": t, "rows": n_points}))
@@ -179,6 +205,10 @@ elif job == "F":
     n = int(os.environ.get("SCALING_RJ_TARGETS", "32000000"))
     t = median_of(lambda: job_f(n), 3)
     print("RESULT" + json.dumps({"cpus": cpus, "job": "F", "t": t, "rows": n}))
+elif job == "G":
+    n = int(os.environ.get("SCALING_KNN_TARGETS", "8000000"))
+    t = median_of(lambda: job_g(n), 3)
+    print("RESULT" + json.dumps({"cpus": cpus, "job": "G", "t": t, "rows": n}))
 else:
     # job B input: identical parquet for every parallelism level
     docs_path = f"/tmp/v2dggs_scaling/docs_native_{n_docs}.parquet"
@@ -242,7 +272,7 @@ def machine_ceiling() -> float:
 
 
 JOB_ROWS = {"A": N_POINTS, "B": N_DOCS, "C": N_TEXT, "D": N_VECS, "E": N_EDGES,
-            "F": N_RJ}
+            "F": N_RJ, "G": N_KNN}
 JOB_DESC = {
     "A": f"A. native point index (geohash r9, {N_POINTS:,} pts, WholeStageCodegen)",
     "B": f"B. point-documents pipeline ({N_DOCS:,} interleaved docs, r9, Arrow-UDF path)",
@@ -250,9 +280,10 @@ JOB_DESC = {
     "D": f"D. hyperplane-LSH embedding near-dup (q32 Arrow path, {N_VECS:,} 64-dim vectors, 8x24-bit bands)",
     "E": f"E. connected components (large/small-star, {N_EDGES:,} edges, 1000-node planted clusters)",
     "F": f"F. fixed-radius range join (q63, {N_RJ:,} targets vs {N_RJ // 20:,} queries, ~248M pairs)",
+    "G": f"G. kNN ring expansion (q06 native path, {N_KNN:,} targets vs {N_KNN // 20:,} queries, k=5, multi-round)",
 }
 JOB_UNIT = {"A": "pts/s", "B": "cells/s", "C": "docs/s", "D": "vecs/s", "E": "edges/s",
-            "F": "targets/s"}
+            "F": "targets/s", "G": "targets/s"}
 
 
 def main():

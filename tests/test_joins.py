@@ -403,3 +403,83 @@ def test_knn_geohash_runs_fully_native(spark, monkeypatch):
         sub = got[got.query_id == qid].sort_values("rank")
         assert sub["target_id"].tolist() == exp_ids, qid
     assert len(got) == n_q * k
+
+
+def _rect_frames(rng, n_a, n_b):
+    def mk(n, prefix, dx):
+        cx = rng.uniform(-176.6, -176.2, n) + dx
+        cy = rng.uniform(-44.4, -43.7, n)
+        w = rng.uniform(0.001, 0.02, n)
+        h = rng.uniform(0.001, 0.02, n)
+        return pd.DataFrame({
+            "rid": [f"{prefix}{i:03d}" for i in range(n)],
+            "x0": cx - w / 2, "y0": cy - h / 2,
+            "x1": cx + w / 2, "y1": cy + h / 2,
+        })
+    return mk(n_a, "a", 0.0), mk(n_b, "b", 0.0005)
+
+
+def test_rect_join_matches_brute_force(spark):
+    """rect_join returns EXACTLY the overlapping (a, b) rect pairs —
+    including rects spanning several covering cells and pairs whose
+    only shared cell contains just a corner of the intersection.  A
+    boundary-touch case is planted explicitly (closed-bounds
+    convention)."""
+    from vector2dggs_spark.operators.joins import rect_join
+
+    rng = np.random.default_rng(23)
+    a, b = _rect_frames(rng, 260, 240)
+    # planted exact boundary touch: b-rect's left edge == a-rect's right edge
+    a.loc[0, ["x0", "y0", "x1", "y1"]] = [-176.5, -44.0, -176.49, -43.99]
+    b.loc[0, ["x0", "y0", "x1", "y1"]] = [-176.49, -44.0, -176.48, -43.99]
+    got = rect_join(
+        spark.createDataFrame(a).withColumnRenamed("rid", "id_a"),
+        spark.createDataFrame(b).withColumnRenamed("rid", "id_b"),
+        get_backend("geohash"), res=7,
+    ).toPandas()
+    ov = (
+        (a["x0"].to_numpy()[:, None] <= b["x1"].to_numpy()[None, :])
+        & (b["x0"].to_numpy()[None, :] <= a["x1"].to_numpy()[:, None])
+        & (a["y0"].to_numpy()[:, None] <= b["y1"].to_numpy()[None, :])
+        & (b["y0"].to_numpy()[None, :] <= a["y1"].to_numpy()[:, None])
+    )
+    exp = {(a["rid"][i], b["rid"][j]) for i, j in zip(*np.nonzero(ov))}
+    assert {(r.id_a, r.id_b) for r in got.itertuples()} == exp
+    assert ("a000", "b000") in exp  # the planted touch survived
+    assert len(exp) > 50
+
+
+def test_rect_join_plan_is_equijoin(spark):
+    """The cover+refine plan must propose candidates through a hash
+    EQUI-join on the cell key — never a cartesian / nested-loop plan
+    (the thing that dies first at 100 TB)."""
+    from vector2dggs_spark.operators.joins import rect_join
+
+    rng = np.random.default_rng(5)
+    a, b = _rect_frames(rng, 30, 30)
+    out = rect_join(
+        spark.createDataFrame(a).withColumnRenamed("rid", "id_a"),
+        spark.createDataFrame(b).withColumnRenamed("rid", "id_b"),
+        get_backend("geohash"), res=7,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+    # the whole cover runs JVM-native: no Python evaluation anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rect_join_unsupported_backend_raises(spark):
+    """Backends without a native rect cover fail loudly at plan time
+    with the documented compose-path message."""
+    from vector2dggs_spark.operators.joins import rect_join
+
+    rng = np.random.default_rng(1)
+    a, b = _rect_frames(rng, 3, 3)
+    with pytest.raises(NotImplementedError, match="polyfill"):
+        rect_join(
+            spark.createDataFrame(a).withColumnRenamed("rid", "id_a"),
+            spark.createDataFrame(b).withColumnRenamed("rid", "id_b"),
+            get_backend("h3"), res=7,
+        )

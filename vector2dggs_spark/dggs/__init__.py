@@ -125,6 +125,14 @@ class Backend:
         (kNN's incremental round shape)."""
         return None
 
+    def native_rect_keys(self, df, lat0: str, lon0: str, lat1: str,
+                         lon1: str, res: int, keep_cols: list[str],
+                         out: str = "key"):
+        """Pure-JVM covering-cell keys for axis-aligned rects (one row
+        per (rect, cell)), or None; pairs with ``native_point_keys`` /
+        ``native_disk_keys`` for polygon-polygon cover joins."""
+        return None
+
 
 class GeohashBackend(Backend):
     name = "geohash"
@@ -221,6 +229,43 @@ class GeohashBackend(Backend):
         return q.select(
             *keep_cols,
             F.expr(f"(__gx << {lat_bits}) | __gy").alias(out),
+        )
+
+    def native_rect_keys(self, df, lat0, lon0, lat1, lon1, res, keep_cols,
+                         out="key"):
+        """Packed int64 keys of every res-``res`` cell COVERING each
+        row's axis-aligned [lon0..lon1]x[lat0..lat1] rect (one row per
+        (rect, cell)) — the native cover side of polygon-polygon joins
+        (``operators.joins.rect_join``).  Same key space as
+        ``native_point_keys``; pure codegen ``sequence()`` explodes on
+        the quantized corner ranges.  Rects must not cross the
+        antimeridian (lon0 <= lon1; the fixtures and the reference's
+        cut-at-180 preprocessing guarantee it)."""
+        from pyspark.sql import functions as F
+
+        from vector2dggs_spark.functions import sqlgen as S
+
+        lon_bits, lat_bits = self._xy_bits(res)
+        q = df.select(
+            *keep_cols,
+            F.expr(S.quantize_sql(lon0, 180.0, 360.0, lon_bits)).alias("__gx0"),
+            F.expr(S.quantize_sql(lon1, 180.0, 360.0, lon_bits)).alias("__gx1"),
+            F.expr(S.quantize_sql(lat0, 90.0, 180.0, lat_bits)).alias("__gy0"),
+            F.expr(S.quantize_sql(lat1, 90.0, 180.0, lat_bits)).alias("__gy1"),
+        )
+        return (
+            q.select(
+                *keep_cols, "__gy0", "__gy1",
+                F.explode(F.sequence(F.col("__gx0"), F.col("__gx1"))).alias("__gx"),
+            )
+            .select(
+                *keep_cols, "__gx",
+                F.explode(F.sequence(F.col("__gy0"), F.col("__gy1"))).alias("__gy"),
+            )
+            .select(
+                *keep_cols,
+                F.expr(f"(__gx << {lat_bits}) | __gy").alias(out),
+            )
         )
 
     def native_disk_keys(self, df, lat, lon, res, k, keep_cols, out="key",

@@ -3025,6 +3025,105 @@ LEFT JOIN nears n ON inc.doc_id = n.doc_id
 Q67 = _dialects(_delta_dedup_sql("spark"), _delta_dedup_sql("duckdb"))
 
 
+def _bpe_corpus_cte() -> str:
+    """The q62 mixed-character corpus (emails, phones, '#'-names) —
+    the documents table is pure ``[a-z ]`` so a sub-word tokenizer
+    would degenerate to whitespace counts there."""
+    phone = ("(cast((20 + (c_custkey % 80)) as string) || '-' || "
+             "cast((100 + (c_custkey % 900)) as string) || '-' || "
+             "cast((100 + ((c_custkey * 7) % 900)) as string) || '-' || "
+             "cast((1000 + ((c_custkey * 13) % 9000)) as string))")
+    return f"""
+src AS (
+  SELECT c_custkey AS doc_id,
+         ('segment ' || c_mktsegment ||
+          (CASE WHEN c_custkey % 4 <= 1
+                THEN ' email ' || lower(replace(c_name, '#', '.')) ||
+                     '@corp-' || cast(c_nationkey as string) || '.example.com'
+                ELSE '' END) ||
+          (CASE WHEN c_custkey % 4 = 0 OR c_custkey % 4 = 2
+                THEN ' tel ' || {phone}
+                ELSE '' END) ||
+          ' account ' || c_name) AS text
+  FROM customer)"""
+
+
+def _bpe_token_count_sql(dialect: str) -> str:
+    """q68 — BPE-ish regex token counting (SURVEY's 'token counting:
+    whitespace + a BPE-ish regex'): the GPT-2-family pre-tokenizer
+    shape — leading-space letter runs, digit runs, punctuation runs —
+    restricted to the ASCII classes both regex engines (Java / RE2)
+    treat identically.  Emits whitespace vs sub-word counts per doc
+    plus the class breakdown and a chars-per-token ratio (the cheap
+    tokenizer-cost estimator pipelines budget with).
+
+    Scale: pure projection over one regexp pass — zero shuffles."""
+    full = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+    sz = "size" if dialect == "spark" else "len"
+    n = lambda pat: f"{sz}(regexp_extract_all(text, '{pat}', 0))"  # noqa: E731
+    return f"""
+WITH {_bpe_corpus_cte()},
+c AS (SELECT doc_id,
+             {sz}(split(text, ' ')) AS n_ws,
+             {n(full)} AS n_bpe,
+             {n('[a-zA-Z]+')} AS n_word,
+             {n('[0-9]+')} AS n_num,
+             {n('[^a-zA-Z0-9 ]+')} AS n_punct,
+             length(text) AS n_chars
+      FROM src)
+SELECT doc_id, cast(n_ws as bigint) AS n_ws, cast(n_bpe as bigint) AS n_bpe,
+       cast(n_word as bigint) AS n_word, cast(n_num as bigint) AS n_num,
+       cast(n_punct as bigint) AS n_punct,
+       round(cast(n_chars as double) / n_bpe, 6) AS chars_per_tok
+FROM c
+"""
+
+
+Q68 = _dialects(_bpe_token_count_sql("spark"), _bpe_token_count_sql("duckdb"))
+
+
+# --------------------------------------------- polygon-polygon join (q69)
+def _rect_layer_sql(residue: int, dx: float) -> str:
+    """An axis-aligned rect layer derived from events (engine-wide
+    pinned-double technique): rows with event_id % 3 == residue,
+    centers on the standard test lattice shifted by ``dx`` degrees so
+    the two layers genuinely interleave, sizes varying 0.002-0.014 deg.
+    IDENTICAL text in both dialects."""
+    _D = G.dlit
+    lat = f"({_D(-44.4)} + (event_id % 700) * {_D(0.001)})"
+    lon = f"({_D(-176.6)} + ((event_id * 7) % 400) * {_D(0.001)} + {_D(dx)})"
+    w = f"({_D(0.002)} + (event_id % 7) * {_D(0.002)})"
+    h = f"({_D(0.002)} + (event_id % 5) * {_D(0.0025)})"
+    return f"""
+SELECT ('r' || cast(event_id as string)) AS rid,
+       (lon - w * {_D(0.5)}) AS x0, (lat - h * {_D(0.5)}) AS y0,
+       (lon + w * {_D(0.5)}) AS x1, (lat + h * {_D(0.5)}) AS y1
+FROM (SELECT event_id, {lat} AS lat, {lon} AS lon, {w} AS w, {h} AS h
+      FROM events WHERE event_id % 3 = {residue}) __r
+"""
+
+
+def _q_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q69 engine side: operators.joins.rect_join — native packed-key
+    covers on both layers at geohash res 7, cell equi-join, exact
+    overlap refine (docstring there has the scale analysis)."""
+    from vector2dggs_spark.dggs import get_backend
+    from vector2dggs_spark.operators.joins import rect_join
+
+    load_views(spark, sf_dir)
+    a = spark.sql(_rect_layer_sql(0, 0.0)).withColumnRenamed("rid", "id_a")
+    b = spark.sql(_rect_layer_sql(1, 0.0007)).withColumnRenamed("rid", "id_b")
+    return rect_join(a, b, get_backend("geohash"), res=7)
+
+
+_RECT_JOIN_ORACLE = f"""
+WITH a AS ({_rect_layer_sql(0, 0.0)}), b AS ({_rect_layer_sql(1, 0.0007)})
+SELECT a.rid AS id_a, b.rid AS id_b
+FROM a JOIN b
+  ON a.x0 <= b.x1 AND b.x0 <= a.x1 AND a.y0 <= b.y1 AND b.y0 <= a.y1
+"""
+
+
 def _semdedup_q() -> tuple[Callable, str]:
     from vector2dggs_spark.functions.textops import semdedup_sql
 
@@ -3114,6 +3213,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q65_semdedup": Q65,
     "q66_mixture_rebalance": Q66,
     "q67_delta_dedup": Q67,
+    "q68_bpe_token_count": Q68,
+    "q69_rect_join": (_q_rect_join, _RECT_JOIN_ORACLE),
 }
 
 

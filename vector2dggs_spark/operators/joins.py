@@ -361,6 +361,79 @@ def range_join(
     )
 
 
+def rect_join(
+    a: DataFrame,
+    b: DataFrame,
+    backend: Backend,
+    res: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Polygon-polygon spatial join for two AXIS-ALIGNED rectangle
+    layers: every (a, b) pair whose rects overlap (closed bounds —
+    boundary touches count, matching the conservative cell-cover
+    convention everywhere else in the engine).
+
+    Inputs carry (id, x0, y0, x1, y1) with x=lon, y=lat.  Cover +
+    refine: both layers explode to their res-``res`` covering cells
+    (``Backend.native_rect_keys`` — packed int64 keys, codegen
+    ``sequence()`` explodes, zero Python), a hash EQUI-join on the cell
+    key proposes candidates, an exact interval-overlap filter refines,
+    and pairs sharing several cells collapse with one distinct.
+    Correct because overlapping rects share every cell containing a
+    point of their (nonempty) intersection, and any shared covering
+    cell is enough to propose the pair.
+
+    At 100 TB this is the standard two-layer spatial-join plan: no
+    cross join ever (plan-asserted in tests), per-rect fan-out bounded
+    by rect-size/cell-size, and the hot-cell notes of ``cell_join``
+    apply (a mega-rect covering many cells salts naturally because its
+    rows spread across cell keys, unlike hot point cells).
+
+    General polygons compose the same join from ``polyfill`` covers
+    (`operators.polyfill` + an exact-geometry refine); the native rect
+    path is the web-scale fast lane the way ``native_point_keys`` is
+    for point layers.  Reference parity: the reference has no
+    two-polygon-layer join; this extends its J1 cell join.
+    """
+    nrk = getattr(backend, "native_rect_keys", None)
+    ka = nrk and nrk(
+        a.select(
+            F.col(id_a).alias("__ida"),
+            F.col("x0").alias("__ax0"), F.col("y0").alias("__ay0"),
+            F.col("x1").alias("__ax1"), F.col("y1").alias("__ay1"),
+        ),
+        "__ay0", "__ax0", "__ay1", "__ax1", res,
+        ["__ida", "__ax0", "__ay0", "__ax1", "__ay1"], out="__cell",
+    )
+    kb = nrk and nrk(
+        b.select(
+            F.col(id_b).alias("__idb"),
+            F.col("x0").alias("__bx0"), F.col("y0").alias("__by0"),
+            F.col("x1").alias("__bx1"), F.col("y1").alias("__by1"),
+        ),
+        "__by0", "__bx0", "__by1", "__bx1", res,
+        ["__idb", "__bx0", "__by0", "__bx1", "__by1"], out="__cell",
+    )
+    if ka is None or kb is None:
+        raise NotImplementedError(
+            f"rect_join needs a native rect cover for backend "
+            f"{backend.name!r}; compose polyfill + cell_join for "
+            f"non-square-grid backends"
+        )
+    return (
+        ka.join(kb, "__cell")
+        .where(
+            (F.col("__ax0") <= F.col("__bx1"))
+            & (F.col("__bx0") <= F.col("__ax1"))
+            & (F.col("__ay0") <= F.col("__by1"))
+            & (F.col("__by0") <= F.col("__ay1"))
+        )
+        .select(F.col("__ida").alias(id_a), F.col("__idb").alias(id_b))
+        .distinct()
+    )
+
+
 def knn(
     queries: DataFrame,
     targets: DataFrame,
