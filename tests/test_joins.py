@@ -483,3 +483,106 @@ def test_rect_join_unsupported_backend_raises(spark):
             spark.createDataFrame(b).withColumnRenamed("rid", "id_b"),
             get_backend("h3"), res=7,
         )
+
+
+def _st_frames(rng, n):
+    # points on a small window; timestamps across ~3 days in micros
+    return pd.DataFrame({
+        "pid": [f"p{i:04d}" for i in range(n)],
+        "lat": rng.uniform(-44.4, -43.9, n),
+        "lon": rng.uniform(-176.6, -176.1, n),
+        "t_us": rng.integers(1_704_000_000_000_000, 1_704_260_000_000_000, n),
+    })
+
+
+def test_st_range_join_matches_brute_force(spark):
+    """Spatio-temporal range_join == brute-force (dist AND |dt|), and
+    each qualifying pair appears EXACTLY once (the single-target-key
+    argument that lets the operator skip distinct)."""
+    from vector2dggs_spark.operators.joins import range_join
+
+    rng = np.random.default_rng(11)
+    pts = _st_frames(rng, 400)
+    radius, dt_us = 0.05, 3_600_000_000  # +/- 1 h
+    q = pts.iloc[:60].rename(columns={"pid": "query_id"})
+    t = pts.rename(columns={"pid": "target_id"})
+    got = range_join(
+        spark.createDataFrame(q), spark.createDataFrame(t),
+        get_backend("geohash"), res=5, radius=radius,
+        t_col="t_us", dt_us=dt_us,
+    ).toPandas()
+    # brute force
+    dla = q["lat"].to_numpy()[:, None] - t["lat"].to_numpy()[None, :]
+    dlo = q["lon"].to_numpy()[:, None] - t["lon"].to_numpy()[None, :]
+    dts = t["t_us"].to_numpy()[None, :] - q["t_us"].to_numpy()[:, None]
+    ok = (dla * dla + dlo * dlo <= radius * radius) & (np.abs(dts) <= dt_us)
+    exp = {(q["query_id"].iloc[i], t["target_id"].iloc[j]): int(dts[i, j])
+           for i, j in zip(*np.nonzero(ok))}
+    pairs = list(zip(got.query_id, got.target_id))
+    assert len(pairs) == len(set(pairs)), "duplicate pair emitted"
+    assert dict(zip(pairs, got.delta_us.astype(int))) == exp
+    assert len(exp) > 60  # non-trivial scenario (incl. self-matches)
+
+
+def test_st_range_join_plan_and_validation(spark):
+    """The temporal variant stays an equi-join (cell AND bucket in the
+    key) with zero Python; bad parameter combos raise."""
+    from vector2dggs_spark.operators.joins import range_join
+
+    rng = np.random.default_rng(3)
+    pts = _st_frames(rng, 50)
+    q = spark.createDataFrame(pts.iloc[:10].rename(columns={"pid": "query_id"}))
+    t = spark.createDataFrame(pts.rename(columns={"pid": "target_id"}))
+    out = range_join(q, t, get_backend("geohash"), res=5, radius=0.05,
+                     t_col="t_us", dt_us=3_600_000_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "__bkt" in plan  # time bucket participates in the join key
+    with pytest.raises(ValueError, match="together"):
+        range_join(q, t, get_backend("geohash"), res=5, radius=0.05,
+                   t_col="t_us")
+    with pytest.raises(ValueError, match="positive"):
+        range_join(q, t, get_backend("geohash"), res=5, radius=0.05,
+                   t_col="t_us", dt_us=0)
+
+
+def test_rect_contains_join_semi_anti_brute(spark):
+    """rect_contains_join semi/anti == brute-force point-in-any-rect
+    (closed bounds), the two modes partition the input, and all input
+    columns survive."""
+    from vector2dggs_spark.operators.joins import rect_contains_join
+
+    rng = np.random.default_rng(17)
+    n_p, n_z = 500, 40
+    pts = pd.DataFrame({
+        "point_id": [f"p{i:04d}" for i in range(n_p)],
+        "lat": rng.uniform(-44.4, -43.9, n_p),
+        "lon": rng.uniform(-176.6, -176.1, n_p),
+        "tag": rng.integers(0, 9, n_p),
+    })
+    _, z = _rect_frames(rng, 1, n_z)
+    z = z.rename(columns={"rid": "id_r"})
+    # planted exact boundary touch: a point ON a zone edge counts as inside
+    pts.loc[0, ["lat", "lon"]] = [float(z["y0"][0]), float(z["x0"][0])]
+    inside = (
+        (pts["lon"].to_numpy()[:, None] >= z["x0"].to_numpy()[None, :])
+        & (pts["lon"].to_numpy()[:, None] <= z["x1"].to_numpy()[None, :])
+        & (pts["lat"].to_numpy()[:, None] >= z["y0"].to_numpy()[None, :])
+        & (pts["lat"].to_numpy()[:, None] <= z["y1"].to_numpy()[None, :])
+    ).any(axis=1)
+    exp_in = set(pts["point_id"][inside])
+    sp, sz = spark.createDataFrame(pts), spark.createDataFrame(z)
+    be = get_backend("geohash")
+    semi = rect_contains_join(sp, sz, be, res=7, how="semi").toPandas()
+    anti = rect_contains_join(sp, sz, be, res=7, how="anti").toPandas()
+    assert set(semi.point_id) == exp_in
+    assert set(anti.point_id) == set(pts["point_id"]) - exp_in
+    assert sorted(semi.columns) == sorted(pts.columns)  # originals survive
+    assert "p0000" in exp_in  # the planted boundary touch
+    assert 0 < len(exp_in) < n_p
+    with pytest.raises(ValueError, match="semi|anti"):
+        rect_contains_join(sp, sz, be, res=7, how="inner")
+    with pytest.raises(NotImplementedError, match="polyfill"):
+        rect_contains_join(sp, sz, get_backend("h3"), res=7)

@@ -3083,7 +3083,7 @@ Q68 = _dialects(_bpe_token_count_sql("spark"), _bpe_token_count_sql("duckdb"))
 
 
 # --------------------------------------------- polygon-polygon join (q69)
-def _rect_layer_sql(residue: int, dx: float) -> str:
+def _rect_layer_sql(residue: int, dx: float, mod: int = 3) -> str:
     """An axis-aligned rect layer derived from events (engine-wide
     pinned-double technique): rows with event_id % 3 == residue,
     centers on the standard test lattice shifted by ``dx`` degrees so
@@ -3099,7 +3099,7 @@ SELECT ('r' || cast(event_id as string)) AS rid,
        (lon - w * {_D(0.5)}) AS x0, (lat - h * {_D(0.5)}) AS y0,
        (lon + w * {_D(0.5)}) AS x1, (lat + h * {_D(0.5)}) AS y1
 FROM (SELECT event_id, {lat} AS lat, {lon} AS lon, {w} AS w, {h} AS h
-      FROM events WHERE event_id % 3 = {residue}) __r
+      FROM events WHERE event_id % {mod} = {residue}) __r
 """
 
 
@@ -3121,6 +3121,177 @@ WITH a AS ({_rect_layer_sql(0, 0.0)}), b AS ({_rect_layer_sql(1, 0.0007)})
 SELECT a.rid AS id_a, b.rid AS id_b
 FROM a JOIN b
   ON a.x0 <= b.x1 AND b.x0 <= a.x1 AND a.y0 <= b.y1 AND b.y0 <= a.y1
+"""
+
+
+# ------------------------------------------- trajectory sessionization (q70)
+_GAP_US = 21_600_000_000  # 6 h — the trip-boundary gap
+_TRIP_ROUND = 9  # leg rounding digits (engine-wide decimal-sum device)
+
+
+def _pings_sql(dialect: str) -> str:
+    """Per-user GPS pings: events' REAL (user_id, ts) stream + the
+    engine-standard derived lattice coordinates.  Time as exact integer
+    microseconds — the fixtures carry sub-second TIMESTAMP_NTZ, so
+    second-truncating epoch functions would diverge between engines and
+    session-timezone-dependent ones (``unix_micros(cast(...))``) would
+    shift by the driver's TZ; ``timestampdiff`` from the NTZ epoch is
+    timezone-free and matches DuckDB's ``epoch_us`` bit-for-bit."""
+    ep = ("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+          if dialect == "spark" else "epoch_us(ts)")
+    _D = G.dlit
+    lat = f"({_D(-44.4)} + (event_id % 700) * {_D(0.001)})"
+    lon = f"({_D(-176.6)} + ((event_id * 7) % 400) * {_D(0.001)})"
+    return (f"SELECT user_id, event_id AS ping_id, {ep} AS t_us, "
+            f"{lat} AS lat, {lon} AS lon FROM events")
+
+
+def _trip_sessionize_sql(dialect: str) -> str:
+    """q70 — gap-based trajectory sessionization (trip segmentation)
+    with per-trip stats and an origin/destination cell pair: the
+    canonical distributed telemetry shape (lag → boundary flag →
+    running-sum trip id → group).  All windows partition by user_id —
+    bounded by one device's ping history, never corpus-scale (the q42
+    mega-partition lesson).  Trip distance sums legs through exact
+    DECIMAL(18,9) after a 1e-9 round (float group-sums are not
+    order-associative across engines — the q46 device); legs use the
+    planar degree metric (arithmetic + IEEE-exact sqrt, bit-identical
+    cross-engine).  O/D cells ride the proven staged geohash encode.
+
+    Scale: two narrow window passes + one groupBy, all keyed/co-keyed
+    on user_id — one shuffle of the ping stream, then map-side
+    combinable aggregation."""
+    cellp = G.geohash_select_sql(
+        _pings_sql(dialect), "lat", "lon", 6,
+        ["user_id", "ping_id", "t_us", "lat", "lon"], out="cell")
+    _D = G.dlit
+    return f"""
+WITH cellp AS ({cellp}),
+w AS (
+  SELECT user_id, ping_id, t_us, lat, lon, cell,
+         lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, ping_id) AS p_t,
+         lag(lat)  OVER (PARTITION BY user_id ORDER BY t_us, ping_id) AS p_lat,
+         lag(lon)  OVER (PARTITION BY user_id ORDER BY t_us, ping_id) AS p_lon
+  FROM cellp),
+x AS (
+  SELECT user_id, ping_id, t_us, lat, lon, cell, p_lat, p_lon,
+         CASE WHEN p_t IS NULL OR t_us - p_t > {_GAP_US} THEN 1 ELSE 0 END AS is_new
+  FROM w),
+y AS (
+  SELECT user_id, ping_id, t_us, cell, is_new,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY t_us, ping_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS trip_no,
+         CASE WHEN is_new = 1 THEN {_D(0.0)}
+              ELSE round(sqrt((lat - p_lat) * (lat - p_lat)
+                              + (lon - p_lon) * (lon - p_lon)), {_TRIP_ROUND})
+         END AS leg
+  FROM x),
+z AS (
+  SELECT user_id, ping_id, t_us, cell, is_new, trip_no, leg,
+         row_number() OVER (PARTITION BY user_id, trip_no
+                            ORDER BY t_us DESC, ping_id DESC) AS rn_last
+  FROM y)
+SELECT user_id, cast(trip_no as int) AS trip_no,
+       count(*) AS n_pings,
+       min(t_us) AS t_start_us, max(t_us) AS t_end_us,
+       cast(sum(cast(leg as decimal(18,9))) as double) AS dist_deg,
+       min(CASE WHEN is_new = 1 THEN cell END) AS o_cell,
+       min(CASE WHEN rn_last = 1 THEN cell END) AS d_cell
+FROM z GROUP BY user_id, trip_no
+"""
+
+
+Q70 = _dialects(_trip_sessionize_sql("spark"), _trip_sessionize_sql("duckdb"))
+
+
+# ------------------------------------------------- geofence anti-join (q71)
+def _q_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q71 engine side: operators.joins.rect_contains_join(how="anti")
+    — the geofencing exclusion filter (points inside NO zone rect);
+    cover + refine + left_anti, matched-id dedup riding inside the
+    semi-join (scale analysis in the operator docstring)."""
+    from vector2dggs_spark.dggs import get_backend
+    from vector2dggs_spark.operators.joins import rect_contains_join
+
+    load_views(spark, sf_dir)
+    pts = spark.sql(PTS)
+    zones = spark.sql(_rect_layer_sql(2, 0.0003, mod=97)).withColumnRenamed("rid", "id_r")
+    return rect_contains_join(pts, zones, get_backend("geohash"), res=7,
+                              how="anti")
+
+
+_GEOFENCE_ORACLE = f"""
+WITH pts AS ({PTS}), z AS ({_rect_layer_sql(2, 0.0003, mod=97)})
+SELECT p.point_id, p.lat, p.lon
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM z
+  WHERE p.lon >= z.x0 AND p.lon <= z.x1
+    AND p.lat >= z.y0 AND p.lat <= z.y1)
+"""
+
+
+# ------------------------------------------------- tile pyramid rollup (q72)
+def _pyramid_sql(dialect: str) -> str:
+    """q72 — multi-resolution aggregation pyramid (vector-tile rollup,
+    geohash res 1..6 in one statement): aggregate ONCE at the finest
+    resolution, then explode the SMALL aggregate across prefix lengths
+    and re-aggregate — the two-level rollup that never re-reads the
+    corpus per zoom level.  At 100 TB the base groupBy is the only
+    corpus-scale shuffle (map-side combinable); the pyramid runs over
+    |distinct cells| rows x 6."""
+    lv = ("SELECT explode(sequence(1, 6)) AS r" if dialect == "spark"
+          else "SELECT unnest([1, 2, 3, 4, 5, 6]) AS r")
+    return f"""
+WITH cells AS ({PTS_CELL6}),
+base AS (SELECT cell, count(*) AS n FROM cells GROUP BY 1),
+lv AS ({lv})
+SELECT cast(r as int) AS res, substring(cell, 1, r) AS tile,
+       cast(sum(n) as bigint) AS n_points, count(*) AS n_cells
+FROM base CROSS JOIN lv
+GROUP BY 1, 2
+"""
+
+
+Q72 = _dialects(_pyramid_sql("spark"), _pyramid_sql("duckdb"))
+
+
+# -------------------------------------------- spatio-temporal join (q73)
+_ST_RADIUS_DEG = 0.03
+_ST_DT_US = 1_800_000_000  # +/- 30 min
+
+
+def _q_st_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q73 engine side: range_join with (t_col, dt_us) — the
+    spatio-temporal correlation join.  Time buckets join the candidate
+    KEY (cell, t div dt), not just the refine, so an all-history hot
+    cell shards across time slices (docstring on the operator)."""
+    from pyspark.sql import functions as F
+
+    from vector2dggs_spark.dggs import get_backend
+    from vector2dggs_spark.operators.joins import range_join
+
+    load_views(spark, sf_dir)
+    pings = spark.sql(_pings_sql("spark"))
+    queries = (pings.where(F.col("ping_id") % 23 == 0)
+               .withColumnRenamed("ping_id", "query_id"))
+    targets = pings.withColumnRenamed("ping_id", "target_id")
+    out = range_join(queries, targets, get_backend("geohash"), res=5,
+                     radius=_ST_RADIUS_DEG, t_col="t_us", dt_us=_ST_DT_US)
+    return out.select("query_id", "target_id", "dist_sq", "delta_us")
+
+
+_ST_SQDD = ("((q.lat - t.lat) * (q.lat - t.lat)"
+            " + (q.lon - t.lon) * (q.lon - t.lon))")
+_ST_RANGE_ORACLE = f"""
+WITH pings AS ({_pings_sql("duckdb")}),
+q AS (SELECT * FROM pings WHERE ping_id % 23 = 0)
+SELECT q.ping_id AS query_id, t.ping_id AS target_id,
+       {_ST_SQDD} AS dist_sq,
+       (t.t_us - q.t_us) AS delta_us
+FROM q CROSS JOIN pings t
+WHERE {_ST_SQDD} <= {G.dlit(_ST_RADIUS_DEG * _ST_RADIUS_DEG)}
+  AND abs(t.t_us - q.t_us) <= {_ST_DT_US}
 """
 
 
@@ -3215,6 +3386,10 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q67_delta_dedup": Q67,
     "q68_bpe_token_count": Q68,
     "q69_rect_join": (_q_rect_join, _RECT_JOIN_ORACLE),
+    "q70_trip_sessionize": Q70,
+    "q71_geofence_anti": (_q_geofence, _GEOFENCE_ORACLE),
+    "q72_tile_pyramid": Q72,
+    "q73_st_range_join": (_q_st_range_join, _ST_RANGE_ORACLE),
 }
 
 

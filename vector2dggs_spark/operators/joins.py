@@ -259,11 +259,28 @@ def range_join(
     metric: str = "planar",
     max_ring: int = 256,
     broadcast_queries: bool = False,
+    t_col: str | None = None,
+    dt_us: int | None = None,
 ) -> DataFrame:
     """Fixed-radius spatial range join (distance join) — kNN's sibling:
     every (query, target) pair within ``radius`` (degrees of planar
     degree distance for ``metric="planar"``, great-circle meters for
     ``"haversine"``).
+
+    With ``t_col``/``dt_us`` set it becomes the SPATIO-TEMPORAL range
+    join: both inputs carry a bigint microsecond timestamp column
+    ``t_col`` and a pair additionally requires ``|t_q - t_t| <=
+    dt_us``.  Time joins the candidate KEY, not just the refine: each
+    target keys on its single bucket ``t div dt_us`` and each query
+    explodes to the <= 3 buckets covering ``[t-dt, t+dt]``, so the
+    equi-join runs on (cell, bucket) — at 100 TB this is what turns an
+    all-history hot cell (a city center with years of events) into
+    per-time-slice keys; without it the temporal filter would run
+    post-join over every historical co-located pair.  A (q, t) pair
+    matches at most one (cell, bucket) composite (the target has
+    exactly one key), so no distinct is needed — output cardinality is
+    exactly the predicate's.  Requires non-negative timestamps (``div``
+    truncation == floor); epoch-microsecond data satisfies this.
 
     Cover + refine, the classic distributed DJ shape: the ring count is
     a PLAN-TIME constant derived from the backend's guarantee bound
@@ -282,7 +299,12 @@ def range_join(
     """
     if metric not in ("planar", "haversine"):
         raise ValueError(f"unknown range_join metric {metric!r}")
+    if (t_col is None) != (dt_us is None):
+        raise ValueError("t_col and dt_us must be set together")
+    if dt_us is not None and dt_us <= 0:
+        raise ValueError(f"dt_us must be positive, got {dt_us}")
     dist_col = "dist_sq" if metric == "planar" else "dist_m"
+    temporal = t_col is not None
 
     def _with_cell(df, lat, lon, keep, out):
         # zero-Python encode where the backend has one (geohash/rhp) —
@@ -297,11 +319,13 @@ def range_join(
         F.col(query_id).alias("__qid"),
         F.col("lat").alias("__qlat"),
         F.col("lon").alias("__qlon"),
+        *([F.col(t_col).cast("bigint").alias("__qt")] if temporal else []),
     )
     t_base = targets.select(
         F.col(target_id).alias("__tid"),
         F.col("lat").alias("__tlat"),
         F.col("lon").alias("__tlon"),
+        *([F.col(t_col).cast("bigint").alias("__tt")] if temporal else []),
     )
 
     if metric == "planar":
@@ -324,8 +348,8 @@ def range_join(
     # the join key is a packed-coordinate int64 instead of a string
     # cell — zero Python anywhere in the operator (see
     # Backend.native_point_keys for why it is NOT the Morton code)
-    t_keep = ["__tid", "__tlat", "__tlon"]
-    q_keep = ["__qid", "__qlat", "__qlon"]
+    t_keep = ["__tid", "__tlat", "__tlon"] + (["__tt"] if temporal else [])
+    q_keep = ["__qid", "__qlat", "__qlon"] + (["__qt"] if temporal else [])
     npc = getattr(backend, "native_point_keys", None)
     ndc = getattr(backend, "native_disk_keys", None)
     t_coded = (npc(t_base, "__tlat", "__tlon", res, t_keep, out="__cell")
@@ -348,17 +372,38 @@ def range_join(
     # 2.4x with the shuffled hash join).  Default to a per-partition
     # hash join on the target side; ``broadcast_queries=True`` is the
     # escape hatch for genuinely tiny query sets.
-    joined = (F.broadcast(qx).join(t, "__cell") if broadcast_queries
-              else qx.join(t.hint("shuffle_hash"), "__cell"))
-    return (
+    keys = ["__cell"]
+    if temporal:
+        # target: its ONE bucket; query: the <= 3 buckets covering
+        # [t-dt, t+dt] (codegen sequence explode, same device as the
+        # native disk).  div truncation == floor for the documented
+        # non-negative timestamp domain; a negative (t-dt) under-runs
+        # toward bucket 0, which only ever ADDs coverage.
+        t = t.withColumn("__bkt", F.expr(f"__tt div {dt_us}"))
+        qx = qx.withColumn(
+            "__bkt",
+            F.explode(F.sequence(
+                F.expr(f"(__qt - {dt_us}) div {dt_us}"),
+                F.expr(f"(__qt + {dt_us}) div {dt_us}"),
+            )),
+        )
+        keys = ["__cell", "__bkt"]
+    joined = (F.broadcast(qx).join(t, keys) if broadcast_queries
+              else qx.join(t.hint("shuffle_hash"), keys))
+    out = (
         joined
         .select(
             F.col("__qid").alias(query_id),
             F.col("__tid").alias(target_id),
             dist.alias(dist_col),
+            *([(F.col("__tt") - F.col("__qt")).alias("delta_us")]
+              if temporal else []),
         )
         .where(F.col(dist_col) <= F.lit(thresh))
     )
+    if temporal:
+        out = out.where(F.abs(F.col("delta_us")) <= F.lit(dt_us))
+    return out
 
 
 def rect_join(
@@ -432,6 +477,82 @@ def rect_join(
         .select(F.col("__ida").alias(id_a), F.col("__idb").alias(id_b))
         .distinct()
     )
+
+
+def rect_contains_join(
+    points: DataFrame,
+    rects: DataFrame,
+    backend: Backend,
+    res: int,
+    point_id: str = "point_id",
+    rect_id: str = "id_r",
+    how: str = "semi",
+) -> DataFrame:
+    """Point-in-zone containment filter (geofencing): the points that
+    fall inside at least one zone rect (``how="semi"``) or inside NONE
+    (``how="anti"`` — the exclusion / scrub shape).  Closed bounds, the
+    engine-wide convention.
+
+    Points carry (point_id, lat, lon); rects carry (rect_id, x0, y0,
+    x1, y1).  Cover + refine like ``rect_join``: zone rects explode to
+    covering cells (``Backend.native_rect_keys``), points take their
+    single cell key (``native_point_keys``), the (cell) equi-join
+    proposes, exact bounds refine, and the matched point-id set —
+    deduplicated by the semi-join itself, never materialized wide —
+    drives a left_semi / left_anti back onto the ORIGINAL points rows
+    (all input columns survive; correct because a point inside a rect
+    shares its cell with that rect's cover).
+
+    At 100 TB: points >> zones is the normal shape, the zone cover is
+    small (zones × cells-per-zone) and broadcastable by Catalyst/AQE on
+    its own estimate; the final semi/anti is an equi-join on point_id.
+    No distinct-materialization of (point, zone) pairs ever happens —
+    candidate dedup rides inside the semi-join.  Reference parity:
+    extends J1/J4 (the reference has point->cell assignment, no
+    zone-exclusion filter).
+    """
+    if how not in ("semi", "anti"):
+        raise ValueError(f"rect_contains_join how must be semi|anti, got {how!r}")
+    nrk = getattr(backend, "native_rect_keys", None)
+    npk = getattr(backend, "native_point_keys", None)
+    if not (nrk and npk):
+        raise NotImplementedError(
+            f"rect_contains_join needs native rect+point covers for backend "
+            f"{backend.name!r}; compose polyfill + cell_join for "
+            f"non-square-grid backends"
+        )
+    zones = nrk(
+        rects.select(
+            F.col(rect_id).alias("__idr"),
+            F.col("x0").alias("__rx0"), F.col("y0").alias("__ry0"),
+            F.col("x1").alias("__rx1"), F.col("y1").alias("__ry1"),
+        ),
+        "__ry0", "__rx0", "__ry1", "__rx1", res,
+        ["__rx0", "__ry0", "__rx1", "__ry1"], out="__cell",
+    )
+    if zones is None:
+        raise NotImplementedError(
+            f"backend {backend.name!r} returned no native rect cover"
+        )
+    pk = npk(
+        points.select(
+            F.col(point_id).alias("__idp"),
+            F.col("lat").alias("__plat"),
+            F.col("lon").alias("__plon"),
+        ),
+        "__plat", "__plon", res, ["__idp", "__plat", "__plon"], out="__cell",
+    )
+    matched = (
+        pk.join(zones, "__cell")
+        .where(
+            (F.col("__plon") >= F.col("__rx0"))
+            & (F.col("__plon") <= F.col("__rx1"))
+            & (F.col("__plat") >= F.col("__ry0"))
+            & (F.col("__plat") <= F.col("__ry1"))
+        )
+        .select(F.col("__idp").alias(point_id))
+    )
+    return points.join(matched, point_id, "left_semi" if how == "semi" else "left_anti")
 
 
 def knn(
