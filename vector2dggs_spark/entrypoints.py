@@ -3295,6 +3295,183 @@ WHERE {_ST_SQDD} <= {G.dlit(_ST_RADIUS_DEG * _ST_RADIUS_DEG)}
 """
 
 
+# --------------------------------------------- IDW interpolation (q74)
+_IDW_K = 5
+_IDW_EPS = 1e-6  # distance floor: duplicate lattice coords yield d=0
+
+
+def _q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q74 engine side: inverse-distance-weighted interpolation — the
+    kNN apply-step (sensor-network / environmental-surface estimation).
+    kNN (J3) finds each query's 5 nearest measurement sites; the value
+    blend is w = 1/(eps + d), with numerator and denominator summed as
+    SEQUENTIAL rank-ordered float folds (float group-sums are not
+    order-associative across engines, and the DECIMAL device doesn't
+    survive the final ratio: DuckDB's int128-decimal->double cast
+    double-rounds where Spark's BigDecimal path rounds once — measured
+    1-ulp divergence at sf0.01).  k is a small constant, so the
+    per-group collect is O(k).  Scale: knn's plan + one equi join to
+    the value table + one map-side-combinable groupBy."""
+    from pyspark.sql import functions as F
+
+    from vector2dggs_spark.dggs import get_backend
+    from vector2dggs_spark.operators.joins import knn
+
+    load_views(spark, sf_dir)
+    pts = spark.sql(PTS)
+    queries = (pts.where(F.col("point_id") % 41 == 7)
+               .withColumnRenamed("point_id", "query_id"))
+    targets = (pts.where(F.col("point_id") % 41 != 7)
+               .withColumnRenamed("point_id", "target_id"))
+    nn = knn(queries, targets, get_backend("geohash"), res=6, k=_IDW_K)
+    vals = spark.sql("SELECT event_id AS target_id, value FROM events")
+    j = nn.join(vals, "target_id").select(
+        "query_id", "rank",
+        F.expr(f"{G.dlit(1.0)} / ({G.dlit(_IDW_EPS)} + sqrt(dist_sq))").alias("w"),
+        "value",
+    ).withColumn("wv", F.expr("w * value"))
+    seq_fold = ("aggregate(array_sort(collect_list(struct(rank, {c}))), "
+                "cast(0.0 as double), (a, x) -> a + x.{c})")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.expr(seq_fold.format(c="wv")).alias("__num"),
+            F.expr(seq_fold.format(c="w")).alias("__den"),
+            F.count("*").cast("bigint").alias("n_neighbors"),
+        )
+        .select("query_id",
+                (F.col("__num") / F.col("__den")).alias("idw_value"),
+                "n_neighbors")
+    )
+
+
+_IDW_ORACLE = f"""
+WITH pts AS ({PTS}),
+q AS (SELECT * FROM pts WHERE point_id % 41 = 7),
+t AS (SELECT * FROM pts WHERE point_id % 41 <> 7),
+c AS (
+  SELECT q.point_id AS query_id, t.point_id AS target_id,
+         ((q.lat - t.lat) * (q.lat - t.lat) +
+          (q.lon - t.lon) * (q.lon - t.lon)) AS dist_sq
+  FROM q CROSS JOIN t),
+nn AS (
+  SELECT query_id, target_id, dist_sq, rank FROM (
+    SELECT query_id, target_id, dist_sq,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist_sq, target_id) AS rank
+    FROM c) r
+  WHERE rank <= {_IDW_K}),
+jv AS (
+  SELECT nn.query_id, nn.rank,
+         {G.dlit(1.0)} / ({G.dlit(_IDW_EPS)} + sqrt(nn.dist_sq)) AS w,
+         ({G.dlit(1.0)} / ({G.dlit(_IDW_EPS)} + sqrt(nn.dist_sq))) * e.value AS wv
+  FROM nn JOIN events e ON nn.target_id = e.event_id)
+SELECT query_id,
+       list_reduce(list(wv ORDER BY rank), (a, b) -> a + b)
+         / list_reduce(list(w ORDER BY rank), (a, b) -> a + b) AS idw_value,
+       count(*) AS n_neighbors
+FROM jv GROUP BY query_id
+"""
+
+
+# ------------------------------------------------- focal density (q75)
+_FOCAL_RES = 6
+
+
+def _q_focal_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q75 engine side: raster-style FOCAL operation on the DGGS grid —
+    per-cell point counts smoothed over the 3x3 Chebyshev neighborhood
+    (hotspot/density surfaces).  Scatter-gather, never an adjacency
+    join: each aggregated cell explodes its count to the 9 positions it
+    contributes to (codegen sequence explodes — the native-disk device),
+    a second groupBy gathers, and an inner join restricts to occupied
+    cells.  Both groupBys are map-side combinable; the explode runs
+    over the AGGREGATE (|cells| rows), not the corpus — at 100 TB the
+    only corpus-scale shuffle is the base count."""
+    from pyspark.sql import functions as F
+
+    from vector2dggs_spark.functions import sqlgen as S
+
+    load_views(spark, sf_dir)
+    total = 5 * _FOCAL_RES
+    lon_bits = (total + 1) // 2
+    lat_bits = total - lon_bits
+    base = (
+        spark.sql(PTS)
+        .select(
+            F.expr(S.quantize_sql("lon", 180.0, 360.0, lon_bits)).alias("gx"),
+            F.expr(S.quantize_sql("lat", 90.0, 180.0, lat_bits)).alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count("*").alias("n_points"))
+    )
+    scattered = (
+        base
+        .select("n_points",
+                F.explode(F.sequence(F.col("gx") - 1, F.col("gx") + 1)).alias("tx"),
+                "gy")
+        .select("n_points", "tx",
+                F.explode(F.sequence(F.col("gy") - 1, F.col("gy") + 1)).alias("ty"))
+        .groupBy("tx", "ty")
+        .agg(F.sum("n_points").cast("bigint").alias("focal_n"))
+    )
+    return base.join(
+        scattered,
+        (F.col("gx") == F.col("tx")) & (F.col("gy") == F.col("ty")),
+    ).select("gx", "gy", "n_points", "focal_n")
+
+
+def _focal_oracle() -> str:
+    from vector2dggs_spark.functions import sqlgen as S
+
+    total = 5 * _FOCAL_RES
+    lon_bits = (total + 1) // 2
+    lat_bits = total - lon_bits
+    qx = S.quantize_sql("lon", 180.0, 360.0, lon_bits)
+    qy = S.quantize_sql("lat", 90.0, 180.0, lat_bits)
+    return f"""
+WITH pts AS ({PTS}),
+g AS (SELECT {qx} AS gx, {qy} AS gy FROM pts),
+c AS (SELECT gx, gy, count(*) AS n_points FROM g GROUP BY 1, 2)
+SELECT a.gx, a.gy, a.n_points, cast(sum(b.n_points) as bigint) AS focal_n
+FROM c a JOIN c b ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+GROUP BY a.gx, a.gy, a.n_points
+"""
+
+
+# --------------------------------------- spatio-temporal OLAP cube (q76)
+def _st_cube_sql() -> str:
+    """q76 — the hypertable-style continuous-aggregate shape: event
+    counts and distinct devices by (day, res-3 tile) with GROUPING SETS
+    marginals (per-day totals, per-tile totals, grand total) in ONE
+    scan.  The day key is substring(cast(ts as string), 1, 10):
+    timezone-free (NTZ renders identically in both engines), no date
+    functions involved.  Scale: Catalyst expands grouping sets into a
+    single Expand+groupBy — one corpus shuffle for all four rollup
+    levels; count(distinct) goes through Spark's standard two-phase
+    expansion."""
+    _D = G.dlit
+    lat = f"({_D(-44.4)} + (event_id % 700) * {_D(0.001)})"
+    lon = f"({_D(-176.6)} + ((event_id * 7) % 400) * {_D(0.001)})"
+    src = (f"SELECT substring(cast(ts as string), 1, 10) AS day, user_id, "
+           f"{lat} AS lat, {lon} AS lon FROM events")
+    cells = G.geohash_select_sql(src, "lat", "lon", 3,
+                                 ["day", "user_id"], out="tile")
+    return f"""
+WITH cells AS ({cells})
+SELECT coalesce(day, '*') AS day, coalesce(tile, '*') AS tile,
+       count(*) AS n_events,
+       count(distinct user_id) AS n_users,
+       cast(grouping(day) as int) AS g_day,
+       cast(grouping(tile) as int) AS g_tile
+FROM cells
+GROUP BY GROUPING SETS ((day, tile), (day), (tile), ())
+"""
+
+
+Q76 = _shared(_st_cube_sql())
+
+
 def _semdedup_q() -> tuple[Callable, str]:
     from vector2dggs_spark.functions.textops import semdedup_sql
 
@@ -3390,6 +3567,9 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q71_geofence_anti": (_q_geofence, _GEOFENCE_ORACLE),
     "q72_tile_pyramid": Q72,
     "q73_st_range_join": (_q_st_range_join, _ST_RANGE_ORACLE),
+    "q74_idw_interpolation": (_q_idw, _IDW_ORACLE),
+    "q75_focal_density": (_q_focal_density, _focal_oracle()),
+    "q76_st_cube": Q76,
 }
 
 
