@@ -467,3 +467,89 @@ def test_streaming_lsh_dedup_crash_replay_with_pruning(spark, tmp_path):
     assert kept_a == kept_b == {"w", "d"}  # out-of-horizon winner ignored
     rows = spark.read.parquet(out_b).groupBy("doc_id").count().collect()
     assert all(r["count"] == 1 for r in rows)
+
+
+def test_streaming_geofence_alerts(spark, tmp_path):
+    """Stream-static geofence join: alerts match the brute-force
+    (fix, zone) containment set, the plan carries NO stateful operator
+    (unbounded-viable), restart picks up only new files (exactly-once
+    sink), and the batch twin agrees."""
+    import numpy as np
+    import pandas as pd
+
+    from vector2dggs_spark.dggs import get_backend
+    from vector2dggs_spark.streaming.geofence import (
+        geofence_alerts,
+        stream_geofence_alerts,
+    )
+
+    rng = np.random.default_rng(41)
+
+    def mk_fixes(n, id0):
+        return pd.DataFrame({
+            "point_id": np.arange(id0, id0 + n, dtype=np.int64),
+            "ts": pd.to_datetime("2024-03-01") + pd.to_timedelta(
+                rng.integers(0, 86400, n), unit="s"),
+            "lat": rng.uniform(-44.4, -43.9, n),
+            "lon": rng.uniform(-176.6, -176.1, n),
+        })
+
+    n_z = 30
+    cx = rng.uniform(-176.55, -176.15, n_z)
+    cy = rng.uniform(-44.35, -43.95, n_z)
+    w = rng.uniform(0.005, 0.05, n_z)
+    h = rng.uniform(0.005, 0.05, n_z)
+    zones_pd = pd.DataFrame({
+        "id_r": [f"z{i:02d}" for i in range(n_z)],
+        "x0": cx - w / 2, "y0": cy - h / 2,
+        "x1": cx + w / 2, "y1": cy + h / 2,
+    })
+    zones = spark.createDataFrame(zones_pd)
+
+    def brute(fx):
+        hit = (
+            (fx["lon"].to_numpy()[:, None] >= zones_pd["x0"].to_numpy()[None, :])
+            & (fx["lon"].to_numpy()[:, None] <= zones_pd["x1"].to_numpy()[None, :])
+            & (fx["lat"].to_numpy()[:, None] >= zones_pd["y0"].to_numpy()[None, :])
+            & (fx["lat"].to_numpy()[:, None] <= zones_pd["y1"].to_numpy()[None, :])
+        )
+        return {(int(fx["point_id"].iloc[i]), zones_pd["id_r"][j])
+                for i, j in zip(*np.nonzero(hit))}
+
+    in_dir, out_dir, cp = (str(tmp_path / d) for d in ("in", "out", "cp"))
+    f1 = mk_fixes(400, 0)
+    spark.createDataFrame(f1).write.parquet(in_dir)
+
+    q = stream_geofence_alerts(spark, in_dir, out_dir, cp, zones,
+                               dggs="geohash", resolution=7)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas()
+    pairs = list(zip(got.point_id.astype(int), got.id_r))
+    assert len(pairs) == len(set(pairs))  # one alert per (fix, zone)
+    assert set(pairs) == brute(f1)
+    assert len(brute(f1)) > 20
+
+    # the streaming plan must be stateless (no watermark/state store)
+    be = get_backend("geohash")
+    alerts = geofence_alerts(
+        spark.readStream.schema(
+            spark.read.parquet(in_dir).schema).parquet(in_dir),
+        zones, be, 7)
+    assert alerts.isStreaming
+    logical = alerts._jdf.queryExecution().analyzed().toString()
+    assert "StateStore" not in logical and "Deduplicate" not in logical
+
+    # restart with a new file: only the delta lands (exactly-once)
+    f2 = mk_fixes(150, 1000)
+    spark.createDataFrame(f2).write.mode("append").parquet(in_dir)
+    q2 = stream_geofence_alerts(spark, in_dir, out_dir, cp, zones,
+                                dggs="geohash", resolution=7)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out_dir).toPandas()
+    assert set(zip(got2.point_id.astype(int), got2.id_r)) == brute(f1) | brute(f2)
+    assert len(got2) == len(brute(f1)) + len(brute(f2))
+
+    # batch twin on the same inputs agrees exactly
+    allfx = spark.read.parquet(in_dir)
+    batch = geofence_alerts(allfx, zones, be, 7).toPandas()
+    assert set(zip(batch.point_id.astype(int), batch.id_r)) == brute(f1) | brute(f2)
