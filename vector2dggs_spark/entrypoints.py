@@ -3472,6 +3472,78 @@ GROUP BY GROUPING SETS ((day, tile), (day), (tile), ())
 Q76 = _shared(_st_cube_sql())
 
 
+# ------------------------------------------- co-location contacts (q77)
+_CT_RADIUS_DEG = 0.01
+_CT_DT_US = 1_200_000_000  # +/- 20 min
+
+
+def _q_contact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q77 engine side: trajectory co-location (contact) detection —
+    the spatio-temporal self-join workload (proximity tracing / fleet
+    encounter mining).  range_join(t_col, dt_us) proposes fix pairs
+    within 0.01 deg AND +/- 20 min through (cell, time-bucket) keys;
+    user ids attach via two equi-joins; ``query_id < target_id`` keeps
+    one orientation of each unordered fix pair BEFORE aggregation; the
+    canonical (least, greatest) user pair then groups encounter stats.
+    Scale: the self-join never materializes same-cell-all-history pairs
+    (bucketed keys), the orientation filter halves it, and the final
+    groupBy is map-side combinable on a bounded key domain (user
+    pairs)."""
+    from pyspark.sql import functions as F
+
+    from vector2dggs_spark.dggs import get_backend
+    from vector2dggs_spark.operators.joins import range_join
+
+    load_views(spark, sf_dir)
+    pings = spark.sql(_pings_sql("spark"))
+    ids = pings.select("ping_id", "user_id", F.col("t_us").alias("fix_us"))
+    pairs = range_join(
+        pings.withColumnRenamed("ping_id", "query_id"),
+        pings.withColumnRenamed("ping_id", "target_id"),
+        get_backend("geohash"), res=6,
+        radius=_CT_RADIUS_DEG, t_col="t_us", dt_us=_CT_DT_US,
+    ).where(F.col("query_id") < F.col("target_id"))
+    j = (
+        pairs
+        .join(ids.withColumnRenamed("ping_id", "query_id")
+                 .withColumnRenamed("user_id", "u_q"), "query_id")
+        .join(ids.withColumnRenamed("ping_id", "target_id")
+                 .withColumnRenamed("user_id", "u_t")
+                 .withColumnRenamed("fix_us", "fix_us_t"), "target_id")
+        .where(F.col("u_q") != F.col("u_t"))
+    )
+    return (
+        j.select(
+            F.least("u_q", "u_t").alias("u1"),
+            F.greatest("u_q", "u_t").alias("u2"),
+            F.col("fix_us"),
+        )
+        .groupBy("u1", "u2")
+        .agg(F.count("*").alias("n_contacts"),
+             F.min("fix_us").alias("first_us"),
+             F.max("fix_us").alias("last_us"))
+    )
+
+
+_CT_SQDD = ("((a.lat - b.lat) * (a.lat - b.lat)"
+            " + (a.lon - b.lon) * (a.lon - b.lon))")
+_CONTACT_ORACLE = f"""
+WITH pings AS ({_pings_sql("duckdb")}),
+c AS (
+  SELECT least(a.user_id, b.user_id) AS u1,
+         greatest(a.user_id, b.user_id) AS u2,
+         a.t_us AS fix_us
+  FROM pings a JOIN pings b
+    ON a.ping_id < b.ping_id
+   AND a.user_id <> b.user_id
+   AND {_CT_SQDD} <= {G.dlit(_CT_RADIUS_DEG * _CT_RADIUS_DEG)}
+   AND abs(a.t_us - b.t_us) <= {_CT_DT_US})
+SELECT u1, u2, count(*) AS n_contacts,
+       min(fix_us) AS first_us, max(fix_us) AS last_us
+FROM c GROUP BY u1, u2
+"""
+
+
 def _semdedup_q() -> tuple[Callable, str]:
     from vector2dggs_spark.functions.textops import semdedup_sql
 
@@ -3570,6 +3642,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q74_idw_interpolation": (_q_idw, _IDW_ORACLE),
     "q75_focal_density": (_q_focal_density, _focal_oracle()),
     "q76_st_cube": Q76,
+    "q77_contact_pairs": (_q_contact_pairs, _CONTACT_ORACLE),
 }
 
 
