@@ -3544,6 +3544,143 @@ FROM c GROUP BY u1, u2
 """
 
 
+# --------------------------------------------- trip footprints (q78)
+def _trip_segments_sql(dialect: str) -> str:
+    """CTE fragment (w, x, y, segs) shared by q78's engine and oracle:
+    q70's sessionization chain reduced to consecutive-ping SEGMENTS
+    within a trip — (trip_id, doc_id, px, py, qx, qy), one row per
+    non-boundary ping.  Byte-identical in both dialects except the
+    epoch function."""
+    return f"""
+w AS (
+  SELECT user_id, ping_id, t_us, lat, lon,
+         lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, ping_id) AS p_t,
+         lag(lat)  OVER (PARTITION BY user_id ORDER BY t_us, ping_id) AS p_lat,
+         lag(lon)  OVER (PARTITION BY user_id ORDER BY t_us, ping_id) AS p_lon
+  FROM ({_pings_sql(dialect)}) __pp),
+x AS (
+  SELECT user_id, ping_id, t_us, lat, lon, p_lat, p_lon,
+         CASE WHEN p_t IS NULL OR t_us - p_t > {_GAP_US} THEN 1 ELSE 0 END AS is_new
+  FROM w),
+y AS (
+  SELECT user_id, ping_id, lat, lon, p_lat, p_lon, is_new,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY t_us, ping_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS trip_no
+  FROM x),
+segs AS (
+  SELECT ('u' || cast(user_id as string) || 't'
+          || cast(cast(trip_no as int) as string)) AS trip_id,
+         ('u' || cast(user_id as string) || 's'
+          || cast(ping_id as string)) AS doc_id,
+         p_lon AS px, p_lat AS py, lon AS qx, lat AS qy
+  FROM y WHERE is_new = 0)"""
+
+
+def _q_trip_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q78 — trip FOOTPRINTS (map-matching-lite): q70's sessionization
+    composes with the REAL supercover linetrace pipeline — every
+    consecutive-ping segment of a trip becomes a LINESTRING document,
+    runs through ``index(linetrace_mode="supercover")`` at res 6, and
+    the per-trip distinct cell set is the trip's grid footprint (the
+    structure road-demand / coverage analytics aggregate).  Unlike
+    q40's synthetic corpus, REAL consecutive fixes produce vertical and
+    zero-length segments, so the kernel's vertical branch
+    (dggs/geohash.py:336) is exercised and restated in the oracle.
+    Scale: sessionization is one user-keyed window pass; the trace is
+    the pipeline's own Arrow path; the final distinct is an equi-key
+    shuffle on (trip, cell)."""
+    from pyspark.sql import functions as F
+
+    from vector2dggs_spark import index
+
+    load_views(spark, sf_dir)
+    segs = spark.sql(
+        "WITH " + _trip_segments_sql("spark") + " SELECT * FROM segs")
+    s = lambda c: F.col(c).cast("string")  # noqa: E731 — Java shortest-repr
+    wkt = F.concat(
+        F.lit("LINESTRING ("),
+        s("px"), F.lit(" "), s("py"), F.lit(", "),
+        s("qx"), F.lit(" "), s("qy"), F.lit(")"),
+    )
+    docs = segs.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("geometry").alias("kind"),
+                wkt.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    r = index(spark, docs, dggs="geohash", resolution=_GEO_RES,
+              parent_res=_GEO_PARENT, cut_threshold_deg2=0,
+              linetrace_mode="supercover")
+    return (
+        r.cells.join(segs.select("doc_id", "trip_id"), "doc_id")
+        .select("trip_id", f"geohash_{_GEO_RES:02d}",
+                f"geohash_{_GEO_PARENT:02d}")
+        .distinct()
+    )
+
+
+def _trip_footprint_oracle_sql() -> str:
+    """q40's grid-space supercover restatement, extended with the
+    kernel's VERTICAL branch (x1 == x0: all cells floor(min y)..
+    floor(max y) in the one column — the interpolation would divide by
+    zero) and carried per-trip instead of per-doc."""
+    from vector2dggs_spark.dggs.geohash import cell_dims
+
+    dlat, dlon = cell_dims(_GEO_RES)
+    enc = G.geohash_select_sql(
+        "SELECT trip_id, clat, clon FROM ctr", "clat", "clon", _GEO_RES,
+        ["trip_id"], out="cell",
+    )
+    return f"""
+WITH {_trip_segments_sql("duckdb")},
+g AS (SELECT trip_id,
+             ((px + {G.dlit(180.0)}) / {G.dlit(dlon)}) AS gx0,
+             ((py + {G.dlit(90.0)}) / {G.dlit(dlat)}) AS gy0,
+             ((qx + {G.dlit(180.0)}) / {G.dlit(dlon)}) AS gx1,
+             ((qy + {G.dlit(90.0)}) / {G.dlit(dlat)}) AS gy1
+      FROM segs),
+o AS (SELECT trip_id,
+             CASE WHEN gx1 < gx0 THEN gx1 ELSE gx0 END AS x0,
+             CASE WHEN gx1 < gx0 THEN gy1 ELSE gy0 END AS y0,
+             CASE WHEN gx1 < gx0 THEN gx0 ELSE gx1 END AS x1,
+             CASE WHEN gx1 < gx0 THEN gy0 ELSE gy1 END AS y1
+      FROM g),
+cols AS (SELECT trip_id, x0, y0, x1, y1,
+                unnest(generate_series(cast(floor(x0) as bigint),
+                                       cast(floor(x1) as bigint))) AS ix
+         FROM o),
+cl AS (SELECT trip_id, x0, y0, x1, y1, ix,
+              greatest(cast(ix as double), x0) AS xl,
+              least(cast(ix as double) + {G.dlit(1.0)}, x1) AS xr
+       FROM cols),
+yy AS (SELECT trip_id, ix,
+              CASE WHEN x1 = x0 THEN y0
+                   ELSE (y0 + (y1 - y0) * ((xl - x0) / (x1 - x0))) END AS yl,
+              CASE WHEN x1 = x0 THEN y1
+                   ELSE (y0 + (y1 - y0) * ((xr - x0) / (x1 - x0))) END AS yr
+       FROM cl),
+cells AS (SELECT trip_id, ix,
+                 unnest(generate_series(
+                   cast(floor(least(yl, yr)) as bigint),
+                   cast(floor(greatest(yl, yr)) as bigint))) AS iy
+          FROM yy),
+dcells AS (SELECT DISTINCT trip_id, ix, iy FROM cells),
+ctr AS (SELECT trip_id,
+               ({G.dlit(-180.0)} + (ix + {G.dlit(0.5)}) * {G.dlit(dlon)}) AS clon,
+               ({G.dlit(-90.0)} + (iy + {G.dlit(0.5)}) * {G.dlit(dlat)}) AS clat
+        FROM dcells),
+allc AS ({enc})
+SELECT trip_id, cell AS geohash_{_GEO_RES:02d},
+       substring(cell, 1, {_GEO_PARENT}) AS geohash_{_GEO_PARENT:02d}
+FROM allc
+"""
+
+
 def _semdedup_q() -> tuple[Callable, str]:
     from vector2dggs_spark.functions.textops import semdedup_sql
 
@@ -3643,6 +3780,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q75_focal_density": (_q_focal_density, _focal_oracle()),
     "q76_st_cube": Q76,
     "q77_contact_pairs": (_q_contact_pairs, _CONTACT_ORACLE),
+    "q78_trip_footprint": (_q_trip_footprint, _trip_footprint_oracle_sql()),
 }
 
 
