@@ -3204,6 +3204,28 @@ FROM z GROUP BY user_id, trip_no
 Q70 = _dialects(_trip_sessionize_sql("spark"), _trip_sessionize_sql("duckdb"))
 
 
+# ----------------------------------------------------- OD matrix (q79)
+def _od_matrix_sql(dialect: str) -> str:
+    """q79 — origin-destination matrix over q70's trips: trip counts,
+    total pings and total duration between res-3 O/D tiles (the urban
+    mobility / demand-model product).  Built directly on the
+    sessionization CTE — one extra map-side-combinable groupBy on a
+    bounded key domain (tile pairs)."""
+    return f"""
+WITH trips AS ({_trip_sessionize_sql(dialect)})
+SELECT substring(o_cell, 1, 4) AS o_tile,
+       substring(d_cell, 1, 4) AS d_tile,
+       count(*) AS n_trips,
+       cast(sum(n_pings) as bigint) AS total_pings,
+       cast(sum(t_end_us - t_start_us) as bigint) AS total_duration_us
+FROM trips
+GROUP BY 1, 2
+"""
+
+
+Q79 = _dialects(_od_matrix_sql("spark"), _od_matrix_sql("duckdb"))
+
+
 # ------------------------------------------------- geofence anti-join (q71)
 def _q_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q71 engine side: operators.joins.rect_contains_join(how="anti")
@@ -3781,6 +3803,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q76_st_cube": Q76,
     "q77_contact_pairs": (_q_contact_pairs, _CONTACT_ORACLE),
     "q78_trip_footprint": (_q_trip_footprint, _trip_footprint_oracle_sql()),
+    "q79_od_matrix": Q79,
 }
 
 
