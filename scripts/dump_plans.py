@@ -176,6 +176,40 @@ def main():
         )
     )
 
+    q69 = QUERIES["q69_rect_join"][0](spark, sf)
+    sections.append(
+        (
+            "Rect-layer polygon join (q69, round 5)",
+            "Both rect layers explode to packed-int64 covering cells "
+            "inside WholeStageCodegen (sequence() on quantized corner "
+            "ranges — no Python, no UDF), candidates come from ONE hash "
+            "equi-join on the cell key, the exact interval-overlap "
+            "refine is a post-join Filter, and multi-cell pairs collapse "
+            "in a partial-aggregating distinct.  Plan-asserted "
+            "no-cartesian/no-Python in tests/test_joins.py::"
+            "test_rect_join_plan_is_equijoin.",
+            _plan(q69),
+        )
+    )
+
+    q73 = QUERIES["q73_st_range_join"][0](spark, sf)
+    sections.append(
+        (
+            "Spatio-temporal range join (q73, round 5)",
+            "range_join(t_col, dt_us): the hash join key is (cell, "
+            "time-bucket) — the bucket is IN the key, not a post-join "
+            "filter, so an all-history hot cell shards across time "
+            "slices.  Target side carries its single bucket (t div dt); "
+            "the query side explodes <= 3 buckets covering [t-dt, t+dt] "
+            "with the same codegen sequence device as the native disk.  "
+            "ShuffledHashJoin forced for the same pre-explode-estimate "
+            "reason as q63.  Plan-asserted (bucket in join key, no "
+            "Python) in tests/test_joins.py::"
+            "test_st_range_join_plan_and_validation.",
+            _plan(q73),
+        )
+    )
+
     out = ["# PLANS — physical-plan evidence for the key operators\n"]
     out.append("Generated by `scripts/dump_plans.py` (sf0.001, local[4]).\n")
     for title, commentary, plan in sections:

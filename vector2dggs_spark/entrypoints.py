@@ -3253,6 +3253,58 @@ WHERE NOT EXISTS (
 """
 
 
+# ----------------------------------------------------- zonal stats (q80)
+def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q80 — zonal statistics (the raster-analytics staple): per-zone
+    point counts and value sums over the q71 zone layer.  Same cover +
+    refine as ``rect_contains_join`` but KEEPING the zone id through
+    the join; the rollup is a map-side-combinable groupBy on zone id
+    with the engine's DECIMAL-exact sum device (values quantized at
+    1e-9 — float group-sums are not order-associative across engines).
+    At 100 TB: zone cover broadcastable, candidates bounded by
+    points-per-zone-cell, one bounded-domain aggregation."""
+    from pyspark.sql import functions as F
+
+    from vector2dggs_spark.dggs import get_backend
+
+    load_views(spark, sf_dir)
+    be = get_backend("geohash")
+    zones = spark.sql(_rect_layer_sql(2, 0.0003, mod=97))
+    cover = be.native_rect_keys(
+        zones.selectExpr("rid AS zone_id", "x0", "y0", "x1", "y1"),
+        "y0", "x0", "y1", "x1", 7,
+        ["zone_id", "x0", "y0", "x1", "y1"], out="__cell",
+    )
+    pts = spark.sql(
+        f"SELECT p.point_id, p.lat, p.lon, e.value "
+        f"FROM ({PTS}) p JOIN events e ON p.point_id = e.event_id")
+    keyed = be.native_point_keys(
+        pts, "lat", "lon", 7, ["point_id", "lat", "lon", "value"],
+        out="__cell")
+    return (
+        keyed.join(F.broadcast(cover), "__cell")
+        .where((F.col("lon") >= F.col("x0")) & (F.col("lon") <= F.col("x1"))
+               & (F.col("lat") >= F.col("y0")) & (F.col("lat") <= F.col("y1")))
+        .groupBy("zone_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.expr("cast(sum(cast(round(value, 9) as decimal(28,9))) as double)")
+            .alias("sum_value"),
+        )
+    )
+
+
+_ZONAL_ORACLE = f"""
+WITH pts AS ({PTS}), z AS ({_rect_layer_sql(2, 0.0003, mod=97)})
+SELECT z.rid AS zone_id, count(*) AS n_points,
+       cast(sum(cast(round(e.value, 9) as decimal(28,9))) as double) AS sum_value
+FROM pts p
+JOIN events e ON p.point_id = e.event_id
+JOIN z ON p.lon >= z.x0 AND p.lon <= z.x1 AND p.lat >= z.y0 AND p.lat <= z.y1
+GROUP BY z.rid
+"""
+
+
 # ------------------------------------------------- tile pyramid rollup (q72)
 def _pyramid_sql(dialect: str) -> str:
     """q72 — multi-resolution aggregation pyramid (vector-tile rollup,
@@ -3804,6 +3856,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q77_contact_pairs": (_q_contact_pairs, _CONTACT_ORACLE),
     "q78_trip_footprint": (_q_trip_footprint, _trip_footprint_oracle_sql()),
     "q79_od_matrix": Q79,
+    "q80_zonal_stats": (_q_zonal_stats, _ZONAL_ORACLE),
 }
 
 

@@ -657,6 +657,7 @@ def knn(
     # count lets each round detect completion from the (already cached)
     # done_ids instead of eagerly materializing next-round state
     first_pending = pending
+    t_partitioned = False
     rounds: list[DataFrame] = []
     to_unpersist: list[DataFrame] = []
     found: DataFrame | None = None
@@ -770,6 +771,23 @@ def knn(
         ranked.unpersist()
         if prev_pending is first_pending:
             prev_pending.unpersist()
+        if not t_partitioned:
+            # Round 2 is happening: every remaining round joins t on the
+            # SAME key, but a plain cached t gets a fresh Exchange per
+            # round — at web scale that re-shuffles the whole target
+            # corpus once per ring.  Re-partition the (already cached)
+            # table by the join key ONCE; InMemoryRelation preserves the
+            # HashPartitioning, so later rounds shuffle only the
+            # exploded query side.  Deliberately NOT done before round 1:
+            # the common all-done-in-ring-1 case must pay zero extra
+            # jobs, and a broadcast-size t is broadcast regardless.
+            sp = int(queries.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "200"))
+            t_part = t.repartition(sp, "__cell").persist()
+            t_part.count()  # materialize before dropping the old cache
+            t.unpersist()
+            t = t_part
+            t_partitioned = True
         r_prev = r
         r *= 2
     if rounds:
