@@ -164,22 +164,32 @@ def job_f(n):
 
 def job_g(n):
     # kNN ring expansion at scale (q06 operator, round 5 fully-native
-    # path): n targets vs n/20 queries on a sparse 2.8x16-deg lattice
-    # at geohash res 7 (~0.35 targets/cell), k=5 — most queries need
-    # ring 2, a tail needs ring 4, so the doubling loop, the annulus
-    # explode and the carried-top-k checkpoint all execute.  Both sides
-    # run packed-coordinate int64 keys with codegen sequence-explode
+    # path): n targets vs n/20 queries on a sparse lattice at geohash
+    # res 7 (~0.35 targets/cell at every n — the lattice dims scale
+    # with sqrt(n) so DENSITY, hence the ring-count regime, is
+    # n-invariant), k=5 — most queries need ring 2, a tail needs ring
+    # 4, so the doubling loop, the annulus explode and the
+    # carried-top-k checkpoint all execute.  Both sides run
+    # packed-coordinate int64 keys with codegen sequence-explode
     # disks: zero Python in any round.
+    import math
     from vector2dggs_spark.dggs import get_backend
     from vector2dggs_spark.operators.joins import knn
+    f = max(1, int(round(math.sqrt(n / 8_000_000))))
+    # (id % A, (id div A) % B) walks the FULL A x B lattice before
+    # repeating — the old (id % A, (id*7) % B) pair cycled jointly with
+    # period lcm(A, B), stacking hundreds of targets on 0.5% of the
+    # positions and forcing ring-64 explodes (measured: one 32M run
+    # spilled >78 GB and died; the '~0.35 targets/cell' design claim
+    # only holds with a bijective walk)
     t = spark.range(n).selectExpr(
         "cast(id as string) AS target_id",
-        f"({G.dlit(-44.4)} + (id % 700) * {G.dlit(0.004)}) AS lat",
-        f"({G.dlit(-176.6)} + ((id * 7) % 4000) * {G.dlit(0.004)}) AS lon")
+        f"({G.dlit(-44.4)} + (id % {700 * f}) * {G.dlit(0.004)}) AS lat",
+        f"({G.dlit(-176.6)} + ((id div {700 * f}) % {4000 * f}) * {G.dlit(0.004)}) AS lon")
     q = spark.range(n // 20).selectExpr(
         "cast(id as string) AS query_id",
-        f"({G.dlit(-44.35)} + (id % 650) * {G.dlit(0.004)}) AS lat",
-        f"({G.dlit(-176.55)} + ((id * 11) % 3900) * {G.dlit(0.004)}) AS lon")
+        f"({G.dlit(-44.35)} + (id % {650 * f}) * {G.dlit(0.004)}) AS lat",
+        f"({G.dlit(-176.55)} + ((id div {650 * f}) % {3900 * f}) * {G.dlit(0.004)}) AS lon")
     out = knn(q, t, get_backend("geohash"), res=7, k=5)
     n_rows = out.count()
     out.unpersist()

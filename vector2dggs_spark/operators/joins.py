@@ -679,8 +679,17 @@ def knn(
             else:
                 cells = F.array_distinct(grid_disk_udf(backend, res, r)("__qcell"))
             exploded = pending.withColumn("__cell", F.explode(cells))
+        # Rounds >= 2 join the cell-partitioned t with a SHUFFLE_HASH
+        # build on the t side: SortMergeJoin would re-SORT the whole
+        # target corpus every round (measured: tens of GB of sort spill
+        # at 32M targets — the pre-partitioning removes the Exchange
+        # but not SMJ's per-round sort), while the hash build reads the
+        # cache once per round with no sort and no shuffle.  Round 1 is
+        # unhinted so a broadcast-size t still broadcasts (the
+        # all-done-in-ring-1 smoke case).
+        t_join = t.hint("shuffle_hash") if t_partitioned else t
         cand = (
-            exploded.join(t, "__cell")
+            exploded.join(t_join, "__cell")
             .select(
                 "__qid",
                 "__qlat",
@@ -807,7 +816,8 @@ def knn(
                 "__cell", F.explode(F.array_distinct(disk("__qcell")))
             )
         cand = (
-            exploded.join(t, "__cell")
+            exploded.join(t.hint("shuffle_hash") if t_partitioned else t,
+                          "__cell")
             .select(
                 "__qid",
                 "__qlat",
