@@ -792,6 +792,14 @@ def knn(
             # jobs, and a broadcast-size t is broadcast regardless.
             sp = int(queries.sparkSession.conf.get(
                 "spark.sql.shuffle.partitions", "200"))
+            # the hash-build side of the later SHUFFLE_HASH joins must
+            # fit a partition's LongHashedRelation in task memory: cap
+            # build partitions at ~2M rows (measured: 16M-row builds at
+            # shuffle.partitions=8 fail with
+            # cannotAcquireMemoryToBuildLongHashedRelation on a 24g
+            # heap).  t is already cached, so the count is one cheap
+            # cache scan.
+            sp = max(sp, -(-t.count() // 2_000_000))
             t_part = t.repartition(sp, "__cell").persist()
             t_part.count()  # materialize before dropping the old cache
             t.unpersist()
