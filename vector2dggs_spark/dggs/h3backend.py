@@ -31,6 +31,12 @@ class H3Backend:
     def point_to_cell(self, lat, lon, res):
         return H.to_token(H.latlng_to_cell(lat, lon, res))
 
+    def point_to_cell_pa(self, lat, lon, res):
+        """Arrow-native encode: uint64 cells -> pyarrow StringArray via
+        direct offsets+data buffer construction (no per-cell Python
+        strings).  Taken by point_to_cell_udf's arrow_udf path."""
+        return H.to_token_pa(H.latlng_to_cell(lat, lon, res))
+
     def native_point_cells(self, df, lat, lon, res, keep_cols, out="cell"):
         """H3 points stay on the Arrow numpy kernel — a MEASURED call:
         the layered-SQL formulation (functions/h3sql.py, the q33/q36

@@ -708,6 +708,38 @@ def to_token(cells) -> np.ndarray:
     return np.array([format(int(c), "x") for c in cells], dtype=str)
 
 
+_HEX_CHARS = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+_NIB_SHIFTS = np.arange(60, -1, -4, dtype=np.uint64)
+
+
+def to_token_pa(cells):
+    """uint64 cells -> pyarrow StringArray of lowercase-hex tokens,
+    built directly from offsets+data buffers — zero Python-string
+    objects (format(int(c), "x") measured ~0.55 s/M rows; this path
+    feeds the Arrow-native point UDF, guide §4.2).  Leading zeros are
+    stripped exactly like format(_, "x"); every valid H3 cell (mode 1)
+    yields 15 digits, so the uniform-width fast path always taken."""
+    import pyarrow as pa
+
+    cells = np.atleast_1d(np.asarray(cells, dtype=np.uint64))
+    n = len(cells)
+    nib = ((cells[:, None] >> _NIB_SHIFTS[None, :]) & np.uint64(0xF)).astype(np.uint8)
+    chars = _HEX_CHARS[nib]
+    nz = nib != 0
+    first = np.where(nz.any(axis=1), nz.argmax(axis=1), 15).astype(np.int64)
+    widths = (16 - first).astype(np.int32)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(widths, out=offsets[1:])
+    if n and (first == first[0]).all():
+        data = np.ascontiguousarray(chars[:, first[0]:]).tobytes()
+    else:  # mixed widths (not produced by cell encodes; kept for safety)
+        keep = np.arange(16)[None, :] >= first[:, None]
+        data = chars[keep].tobytes()
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)
+    )
+
+
 def from_token(tokens) -> np.ndarray:
     return np.array([np.uint64(int(t, 16)) for t in np.atleast_1d(tokens)], dtype=np.uint64)
 

@@ -312,25 +312,25 @@ def _minhash_bands_cte(dialect: str) -> str:
     (greedy LSH dedup) build on."""
     if dialect == "spark":
         toks = "split(text, ' ')"
-        size_fn, sl = "size", "slice(toks, i, 3)"
-        shingles = (
-            "transform(sequence(1, size(toks) - 2), i -> "
-            "cast(conv(substring(md5(concat_ws(' ', slice(toks, i, 3))), 1, 12), 16, 10) as bigint))"
+        # one row per shingle (codegen'd Generate) hashed ONCE, then the
+        # 16 permutation-mins as a hash AGGREGATE (partial min map-side,
+        # guide §2.3/§4.1).  The round-1..5 form folded a 16-field
+        # named_struct per shingle through aggregate()/transform():
+        # Catalyst evaluates higher-order-function lambdas per element
+        # in INTERPRETED mode (no whole-stage codegen inside lambdas),
+        # and slice()+named_struct() allocate per shingle — measured 6x
+        # slower than this relational restatement at bench scale
+        # (OPTIMIZATION_r06.md).  Same md5/permutation arithmetic, same
+        # multiset of shingle hashes per doc => identical minima.
+        # toks[i] is 0-based subscript; the 1-based shingle index i maps
+        # to slice(toks, i, 3) == (toks[i-1], toks[i], toks[i+1]).
+        shingle = (
+            "cast(conv(substring(md5(concat_ws(' ', toks[i - 1], toks[i], toks[i + 1])), 1, 12), 16, 10) as bigint)"
         )
-        # all 16 permutation-mins in ONE traversal of the shingle array
-        # (an aggregate fold of a 16-field struct) instead of 16
-        # array_min(transform(...)) re-walks — the minhash stage is the
-        # most expensive headline query (VERDICT r01 #8)
-        inits = ", ".join(f"'m{j}', cast({_MH_P} as bigint)" for j in range(len(_MH_PERMS)))
-        steps = ", ".join(
-            f"'m{j}', least(acc.m{j}, (h * {a} + {b}) % {_MH_P})"
+        mins = ", ".join(
+            f"min((h * {a} + {b}) % {_MH_P}) AS m{j}"
             for j, (a, b) in enumerate(_MH_PERMS)
         )
-        mins = (
-            f"aggregate(hs, named_struct({inits}), "
-            f"(acc, h) -> named_struct({steps})) AS mm"
-        )
-        unpack = ", ".join(f"mm.m{j} AS m{j}" for j in range(len(_MH_PERMS)))
         bands = (
             "LATERAL VIEW explode(array(0, 1, 2, 3)) x AS band"
         )
@@ -344,10 +344,10 @@ def _minhash_bands_cte(dialect: str) -> str:
         )
         return f"""
 WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
-f AS (SELECT doc_id, toks FROM t WHERE {size_fn}(toks) >= 3),
-s AS (SELECT doc_id, {shingles} AS hs FROM f),
-m0 AS (SELECT doc_id, {mins} FROM s),
-m AS (SELECT doc_id, {unpack} FROM m0),
+f AS (SELECT doc_id, toks FROM t WHERE size(toks) >= 3),
+e AS (SELECT doc_id, {shingle} AS h
+      FROM f LATERAL VIEW explode(sequence(1, size(toks) - 2)) g AS i),
+m AS (SELECT doc_id, {mins} FROM e GROUP BY doc_id),
 b AS (SELECT doc_id, band, {bv} AS bv FROM m {bands})"""
     shingles = (
         "[('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 12))::BIGINT "
