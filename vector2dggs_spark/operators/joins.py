@@ -725,11 +725,25 @@ def knn(
             .select("__qid")
             .persist()
         )
-        newly_done = ranked.join(done_ids, "__qid").persist()
+        # n_done rides the SAME job as the materialization: an observe()
+        # metric on the join output (each done query contributes exactly
+        # ONE rank-1 row, so counting them == rows of done_ids; DISTINCT
+        # aggregates are not allowed in observed metrics) replaces the
+        # separate done_ids.count() job — one fewer job per ring round
+        # (the cc.py signature-fold trick; at bench scale the loop is
+        # round-latency-bound, VERDICT r05 Job G small-n)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        newly_done = (
+            ranked.join(done_ids, "__qid")
+            .observe(obs, F.count(F.when(F.col("rank") == 1, True)).alias("nd"))
+            .persist()
+        )
         newly_done.count()  # materialize this round's results exactly once
         rounds.append(newly_done)
         to_unpersist.append(done_ids)
-        n_done = done_ids.count()  # cached (materialized by newly_done)
+        n_done = int(obs.get["nd"])  # filled by the count() job above
         empty = n_done == n_pending
         if empty:
             # every query finished this round: skip the next-state
@@ -811,7 +825,9 @@ def knn(
         found = rounds[0]
         for extra in rounds[1:]:
             found = found.unionByName(extra)
-    if pending is not None and not pending.isEmpty() and r > max_ring:
+    if r > max_ring and pending is not None and not pending.isEmpty():
+        # (r > max_ring checked FIRST: isEmpty() is a Spark job, and the
+        # common completed-loop path must not pay it)
         # fallback: exhausted ring budget — take best-effort top-k found
         if use_native:
             exploded = backend.native_disk_keys(
