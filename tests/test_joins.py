@@ -68,9 +68,37 @@ def test_cell_join_point_in_polygon(spark, docs, result):
 def test_cell_join_salted_matches_plain(spark, result):
     a = result.cells.select(F.col("doc_id").alias("a_doc"), result.cell_col)
     b = result.cells.select(F.col("doc_id").alias("b_doc"), result.cell_col)
-    plain = cell_join(a, b, result.cell_col).groupBy().count().collect()[0][0]
+    plain = cell_join(a, b, result.cell_col, salt=0).groupBy().count().collect()[0][0]
     salted = cell_join(a, b, result.cell_col, salt=4).groupBy().count().collect()[0][0]
-    assert plain == salted
+    auto = cell_join(a, b, result.cell_col).groupBy().count().collect()[0][0]
+    assert plain == salted == auto
+
+
+def test_cell_join_auto_salts_hot_key(spark):
+    """salt=None auto-detects a 90%-hot key via the bounded-prefix probe
+    and returns exactly the forced-plain rows; salt=0 keeps the
+    single-join plan (no probe, no union)."""
+    left = spark.range(20_000).selectExpr(
+        "case when id % 10 < 9 then 'HOT' else concat('c', id % 500) end AS cell",
+        "id AS l_id",
+    )
+    right = spark.range(5_000).selectExpr(
+        "case when id < 50 then 'HOT' else concat('c', id % 500) end AS cell",
+        "id AS r_id",
+    )
+    agg = lambda df: df.groupBy().agg(  # noqa: E731
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("cell", "l_id", "r_id").cast("decimal(30,0)")).alias("h"),
+    ).collect()[0]
+    plain = agg(cell_join(left, right, "cell", salt=0))
+    auto = agg(cell_join(left, right, "cell"))
+    assert (plain["n"], plain["h"]) == (auto["n"], auto["h"])
+    # the auto plan must actually have salted: its plan contains the
+    # hot/cold union (a plain join has no Union node)
+    auto_df = cell_join(left, right, "cell")
+    assert "Union" in auto_df._jdf.queryExecution().executedPlan().toString()
+    plain_df = cell_join(left, right, "cell", salt=0)
+    assert "Union" not in plain_df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_broadcast_compact_join_membership(spark, docs, result):

@@ -36,7 +36,13 @@ def cap_bbox(lat, lon, w):
     conservative ``cell_bbox`` from this; the naive ``lon ± w`` version
     under-covers by 1/cos(lat) at high latitudes, which breaks the
     adaptive-cover superset invariant now that the cover's edge test is
-    exact (round-5 code review)."""
+    exact (round-5 code review).
+
+    Returned longitude bounds are UNWRAPPED (lon ± dlon may exceed
+    ±180): callers comparing them against [-180, 180] geometry
+    (``cover._classify``) require input polygons already cut at the
+    antimeridian — the engine-wide precondition (prepare's antimeridian
+    split, G4); see ``adaptive_cover``'s docstring (ADVICE r05)."""
     import numpy as _np
 
     lat = _np.atleast_1d(_np.asarray(lat, dtype=_np.float64))

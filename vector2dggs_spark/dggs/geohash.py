@@ -414,16 +414,35 @@ def _astar_segment_cells(
     se_lon, se_lat = center_lonlat(e)
     ss_lon, ss_lat = center_lonlat(s)
 
+    # per-cell memos: a cell is scored as a NEIGHBOR of up to 8 popped
+    # cells, and np.hypot on python scalars costs ~3 us/call — caching
+    # evaluates each cell once with bit-identical values (pure
+    # call-count reduction; measured 1.55 s -> 1.30 s on the bench line
+    # corpus.  A vectorized batch-of-8 scoring variant was measured
+    # SLOWER (1.98 s): numpy setup overhead exceeds the scalar savings
+    # at that batch size.)
     def make_h(glon, glat):
+        cache: dict[tuple[int, int], float] = {}
+
         def h(c):
-            lon, lat = center_lonlat(c)
-            return float(np.hypot(lat - glat, lon - glon)) / diag
+            v = cache.get(c)
+            if v is None:
+                lon, lat = center_lonlat(c)
+                v = float(np.hypot(lat - glat, lon - glon)) / diag
+                cache[c] = v
+            return v
 
         return h
 
+    _cost_cache: dict[tuple[int, int], float] = {}
+
     def step_cost(c):
-        lon, lat = center_lonlat(c)
-        return 1.0 + w * _pt_seg_dist(lon, lat, seg[0], seg[1])
+        v = _cost_cache.get(c)
+        if v is None:
+            lon, lat = center_lonlat(c)
+            v = 1.0 + w * _pt_seg_dist(lon, lat, seg[0], seg[1])
+            _cost_cache[c] = v
+        return v
 
     sides = {
         0: {"g": {s: 0.0}, "prev": {s: None}, "h": make_h(se_lon, se_lat)},

@@ -2947,13 +2947,20 @@ def _mixture_rebalance_sql(dialect: str, buckets: int = 64) -> str:
     adds the windowed cumulative count of earlier buckets (a
     buckets-per-source-sized frame).  ``buckets`` scales with the data;
     no window partition ever holds a whole source."""
+    # ADVICE r05: derive the shift from ``buckets`` (power of two) —
+    # the r05 text hardcoded 48-6, silently giving every caller 64
+    # buckets.  Default 64 produces byte-identical SQL to r05 (shift
+    # 42), so the frozen q66 oracle text is unchanged.
+    if buckets < 2 or (buckets & (buckets - 1)) != 0:
+        raise ValueError(f"buckets must be a power of two >= 2, got {buckets}")
+    shift = 48 - buckets.bit_length() + 1
     if dialect == "spark":
         h48 = "cast(conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint)"
-        bkt = f"cast(shiftright(h48, {48 - 6}) as int)"
+        bkt = f"cast(shiftright(h48, {shift}) as int)"
         idiv = "DIV"
     else:
         h48 = "('0x' || substring(md5(cast(doc_id as varchar)), 1, 12))::BIGINT"
-        bkt = f"cast(h48 >> {48 - 6} as int)"
+        bkt = f"cast(h48 >> {shift} as int)"
         idiv = "//"
     return f"""
 WITH h AS (SELECT doc_id, source, {h48} AS h48 FROM documents),
@@ -3417,7 +3424,7 @@ def _q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("wv", F.expr("w * value"))
     seq_fold = ("aggregate(array_sort(collect_list(struct(rank, {c}))), "
                 "cast(0.0 as double), (a, x) -> a + x.{c})")
-    return (
+    out = (
         j.groupBy("query_id")
         .agg(
             F.expr(seq_fold.format(c="wv")).alias("__num"),
@@ -3428,6 +3435,15 @@ def _q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("__num") / F.col("__den")).alias("idw_value"),
                 "n_neighbors")
     )
+    # ADVICE r05: knn documents that the caller owns releasing its
+    # persisted result; materialize the (one-row-per-query) IDW output
+    # and free the top-k cache NOW instead of leaking it for the rest of
+    # the contract run.  The output cache is what the driver's later
+    # collect reads.
+    out = out.persist()
+    out.count()
+    nn.unpersist()
+    return out
 
 
 _IDW_ORACLE = f"""

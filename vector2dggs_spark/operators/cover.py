@@ -140,7 +140,15 @@ def adaptive_cover(
     budget (e.g. a hemisphere-scale polygon with a tiny budget): the
     coarsening back-off bottoms out at ``backend.min_res`` and returns
     that seed cover intact — truncating it would break the superset
-    invariant, which always wins over the budget (ADVICE r04)."""
+    invariant, which always wins over the budget (ADVICE r04).
+
+    PRECONDITION (ADVICE r05): ``rings`` must not straddle the
+    antimeridian — vertices live in [-180, 180] and edges do not wrap.
+    The conservative cell-edge test compares ``cap_bbox``'s UNWRAPPED
+    longitude bounds against vertex longitudes, so a wrapping polygon
+    would silently break the superset invariant.  Geometry from the
+    pipeline satisfies this (prepare's antimeridian split, G4); cut
+    other inputs at 180° first."""
     if max_cells < 1:
         raise ValueError("max_cells must be >= 1")
     outer = np.asarray(rings[0], dtype=np.float64)

@@ -27,6 +27,12 @@ from vector2dggs_spark.sources.documents import extract_media, tile_centers
 
 
 # --------------------------------------------------------------------- J1
+# auto hot-key probe bounds (cell_join salt=None): rows of the left
+# prefix scanned, and the within-prefix count that marks a key hot
+AUTO_HOT_PREFIX_ROWS = 100_000
+AUTO_HOT_MIN_COUNT = 1_000
+
+
 def cell_join(
     left: DataFrame,
     right: DataFrame,
@@ -38,26 +44,67 @@ def cell_join(
 ) -> DataFrame:
     """Spatial join of two cell tables on the shared cell-ID column.
 
-    Both sides must be indexed at the same resolution (J1).  For skewed
-    cell distributions (hot parent cells), pass ``salt=N``: HOT keys only
-    (left-side count > ``hot_threshold``) are salted — the hot left rows
-    get a deterministic per-row salt (``pmod(xxhash64(row), N)``, stable
-    under task retries, unlike rand()) and only the hot right rows are
-    replicated N ways; the cold remainder joins plain and the two halves
+    Both sides must be indexed at the same resolution (J1).  Hot cell
+    keys (a city-center cell owning most of one side) serialize a plain
+    equi-join through a single task — a failure mode AQE's skew-join
+    CANNOT fix, because AQE sizes partitions by shuffle BYTES and the
+    blow-up here is post-join fan-out (measured: the bench's 90%-hot-key
+    control runs 5.9 s on one core vs 1.7 s salted on 32).  Three modes:
+
+    * ``salt=None`` (default, AUTO): a BOUNDED heavy-hitter probe —
+      ``limit(AUTO_HOT_PREFIX_ROWS)`` rows of the left key column, one
+      small aggregation — decides whether to apply targeted salting.
+      The probe's cost is O(prefix), independent of table size (a limit
+      short-circuits the scan; it never re-executes the full left
+      lineage), and it FAILS OPEN: hot keys outside the scanned prefix
+      simply fall back to the plain join, i.e. never worse than plain
+      beyond one bounded job.  The salt factor defaults to the session's
+      ``defaultParallelism`` so the hot key spreads across the cluster.
+    * ``salt=N`` (explicit): principled sampled detection — a key with
+      > ``hot_threshold`` left rows appears ~frac·threshold times in a
+      ``frac = 50/hot_threshold`` sample (one full sampled pass over the
+      left key column; use this when the probe's prefix bias is a
+      concern), salted N ways.
+    * ``salt=0``: force the plain single-join plan (the escape hatch for
+      callers whose left side is an expensive unmaterialized lineage
+      and provably unskewed).
+
+    Salting (both modes) is TARGETED: only the hot left rows get a
+    deterministic per-row salt (``pmod(xxhash64(row), N)``, stable under
+    task retries, unlike rand()) and only the hot right rows are
+    replicated N ways; the cold remainder joins plain and the halves
     union.  Blanket salting (replicate the whole right side) measured
-    3.7× SLOWER than plain at bench scale — targeted salting keeps the
-    replication cost proportional to the skew.  AQE skew-join remains on
-    as the runtime backstop.
+    3.7× SLOWER than plain at bench scale.  Join RESULTS are identical
+    in every mode — only the physical plan changes.
     """
     if broadcast_right:
         return left.join(F.broadcast(right), cell_col, how)
-    if salt and how not in ("inner", "left", "left_semi"):
-        salt = None  # split-and-union salting is only sound for these
-    if salt:
-        spark = left.sparkSession
-        # hot-key detection on a sample: a key with > hot_threshold rows
-        # appears ~frac·threshold times in the sample, so detection costs
-        # one cheap scan, not a full-data shuffle
+    if how not in ("inner", "left", "left_semi"):
+        # split-and-union salting is only sound for these
+        return left.join(right, cell_col, how)
+    if salt is not None and salt <= 0:
+        return left.join(right, cell_col, how)  # forced plain
+    spark = left.sparkSession
+    if salt is None:
+        # AUTO: bounded-prefix probe (see docstring).  Which rows the
+        # limit takes is scheduler-dependent, but salting preserves join
+        # results for ANY detected key set, so output determinism holds.
+        hot_rows = (
+            left.select(cell_col)
+            .limit(AUTO_HOT_PREFIX_ROWS)
+            .groupBy(cell_col)
+            .count()
+            .where(F.col("count") >= AUTO_HOT_MIN_COUNT)
+            .orderBy(F.col("count").desc())
+            .select(cell_col)
+            .limit(10_000)  # bounded driver payload even at extreme skew
+            .collect()
+        )
+        if not hot_rows:
+            return left.join(right, cell_col, how)  # nothing hot: plain
+        salt = max(8, spark.sparkContext.defaultParallelism)
+    else:
+        # explicit salt: sampled full-pass detection
         frac = min(1.0, 50.0 / max(hot_threshold, 1))
         hot_rows = (
             left.select(cell_col)
@@ -67,29 +114,28 @@ def cell_join(
             .where(F.col("count") > hot_threshold * frac * 0.5)
             .orderBy(F.col("count").desc())
             .select(cell_col)
-            .limit(10_000)  # bounded driver payload even at extreme skew
+            .limit(10_000)
             .collect()
         )
         if not hot_rows:
             return left.join(right, cell_col, how)  # nothing hot: plain
-        hot = spark.createDataFrame(hot_rows)
-        l_hot = left.join(F.broadcast(hot), cell_col, "left_semi").withColumn(
-            "__salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int")
+    hot = spark.createDataFrame(hot_rows)
+    l_hot = left.join(F.broadcast(hot), cell_col, "left_semi").withColumn(
+        "__salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int")
+    )
+    r_hot = right.join(F.broadcast(hot), cell_col, "left_semi").crossJoin(
+        F.broadcast(
+            spark.range(salt).select(F.col("id").cast("int").alias("__salt"))
         )
-        r_hot = right.join(F.broadcast(hot), cell_col, "left_semi").crossJoin(
-            F.broadcast(
-                spark.range(salt).select(F.col("id").cast("int").alias("__salt"))
-            )
-        )
-        # the replicated hot-right side is small by construction (few hot
-        # keys × salt); broadcast it so the hot branch is a map-side hash
-        # join across salt buckets, never a sort-merge on ~salt keys
-        hot_out = l_hot.join(F.broadcast(r_hot), [cell_col, "__salt"], how).drop("__salt")
-        cold_out = left.join(F.broadcast(hot), cell_col, "left_anti").join(
-            right, cell_col, how
-        )
-        return cold_out.unionByName(hot_out)
-    return left.join(right, cell_col, how)
+    )
+    # the replicated hot-right side is small by construction (few hot
+    # keys × salt); broadcast it so the hot branch is a map-side hash
+    # join across salt buckets, never a sort-merge on ~salt keys
+    hot_out = l_hot.join(F.broadcast(r_hot), [cell_col, "__salt"], how).drop("__salt")
+    cold_out = left.join(F.broadcast(hot), cell_col, "left_anti").join(
+        right, cell_col, how
+    )
+    return cold_out.unionByName(hot_out)
 
 
 # ------------------------------------------------------------ J1 co-location
@@ -388,8 +434,30 @@ def range_join(
             )),
         )
         keys = ["__cell", "__bkt"]
-    joined = (F.broadcast(qx).join(t, keys) if broadcast_queries
-              else qx.join(t.hint("shuffle_hash"), keys))
+    if broadcast_queries:
+        joined = F.broadcast(qx).join(t, keys)
+    else:
+        # ADVICE r05 (medium): the SHUFFLE_HASH build side must fit each
+        # partition's LongHashedRelation in task memory — knn caps build
+        # partitions at ~2M rows after measuring
+        # cannotAcquireMemoryToBuildLongHashedRelation on big builds.
+        # Here the target is not cached, so instead of a count pass the
+        # cap derives from the optimizer's plan-time size estimate
+        # (free): ~128 MB of target input per build partition (~2-3M
+        # rows of (key, id, lat, lon)).  Pre-partitioning t on the join
+        # key makes the join's exchange requirement match, so the
+        # exploded query side shuffles to the same count and t is
+        # shuffled exactly once.  Small targets (estimate under
+        # shuffle.partitions x 128 MB) keep the stock plan.
+        sp = int(queries.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        try:
+            est = int(str(t._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        except Exception:  # estimate unavailable: keep the stock plan
+            est = 0
+        nparts = max(sp, -(-est // (128 << 20)))
+        if nparts > sp:
+            t = t.repartition(nparts, *keys)
+        joined = qx.join(t.hint("shuffle_hash"), keys)
     out = (
         joined
         .select(

@@ -194,14 +194,21 @@ def index(
         nparts = partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
-        # second key: deterministic 8-way splitter WITHIN a block, so one
-        # dense ~0.2° block (urban data at 1000× scale) cannot pin an
-        # entire Arrow task; locality per partition is preserved (all
-        # rows still share the block prefix)
+        # second key: deterministic splitter WITHIN a block, so one dense
+        # ~0.2° block (urban data at 1000× scale) cannot pin an entire
+        # Arrow task; locality per partition is preserved (all rows still
+        # share the block prefix).  Splitter cardinality scales with the
+        # partition count (8x nparts ≈ the guide's 20-100x more distinct
+        # keys than partitions, §2.5): the r05 constant 8 left only
+        # n_blocks x 8 keys and measured a 40x row imbalance across
+        # polyfill tasks at bench scale (790 vs 19 rows; stage 1.07 s ->
+        # 0.82 s with the scaled splitter, OPTIMIZATION_r06.md), and a
+        # single dense block at cluster scale needs >= ~8 keys per
+        # partition to spread regardless of block count.
         prepared = prepared.repartition(
             nparts,
             F.substring("sort_key", 1, 4),
-            F.pmod(F.xxhash64("part_uid"), F.lit(8)),
+            F.pmod(F.xxhash64("part_uid"), F.lit(8 * nparts)),
         )
     elif partitions:
         prepared = prepared.repartition(partitions)

@@ -297,6 +297,16 @@ def rewrite_footer_metadata(path: str, pairs: dict[bytes, bytes]) -> int:
             b.flush()
             os.fsync(b.fileno())
         os.replace(bak + ".tmp", bak)
+        # ADVICE r05: make the rename DURABLE before the in-place
+        # overwrite below can reach disk — without a directory fsync a
+        # power loss could persist the overwrite but not the sidecar,
+        # leaving a corrupt footer with no recovery blob (process-crash
+        # safety alone does not need this; power-loss safety does)
+        dfd = os.open(os.path.dirname(os.path.abspath(bak)), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         f.seek(data_end)
         f.write(new_footer)
         f.write(struct.pack("<I", len(new_footer)))
