@@ -235,17 +235,29 @@ def cell_to_children(cell: int, child_res: int) -> list[int]:
 
 def compact(cells) -> set[int]:
     """Merge complete sibling sets bottom-up (4 triangles; 5 quintants
-    at the res-1 level) — the reference a5.compact role."""
+    at the res-1 level) — the reference a5.compact role.
+
+    Pure-int bit math per cell (c & -c locates the marker; the parent
+    is two masks) — the r05 form called 1-element numpy
+    get_resolution()/cell_to_parent() per cell (~20-75 us each, the
+    q60 pipeline's dominant compaction cost).  Identical merges."""
     cur = {int(c) for c in cells}
     if not cur:
         return cur
-    res_of = {c: int(get_resolution([c])[0]) for c in cur}
+
+    def _res(c: int) -> int:
+        pos = (c & -c).bit_length() - 1
+        return 0 if pos == 59 else (56 - pos) // 2 + 1
+
+    res_of = {c: _res(c) for c in cur}
     for res in range(max(res_of.values()), 0, -1):
         need = 5 if res == 1 else 4
+        ppos = _marker_pos(res - 1)
+        keep = ~((1 << (ppos + 1)) - 1)
         by_parent: dict[int, list[int]] = {}
         for c in cur:
             if res_of[c] == res:
-                by_parent.setdefault(int(cell_to_parent([c], res - 1)[0]), []).append(c)
+                by_parent.setdefault((c & keep) | (1 << ppos), []).append(c)
         for p, kids in by_parent.items():
             if len(kids) == need:
                 cur -= set(kids)

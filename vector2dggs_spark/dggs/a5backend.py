@@ -52,7 +52,11 @@ class A5Backend:
         return set(A.to_token(np.array(sorted(merged), dtype=np.uint64)))
 
     def get_resolution(self, cell: str) -> int:
-        return int(A.get_resolution(A.from_token([cell]))[0])
+        # pure-int marker-bit math — the numpy scalar path costs ~30 us
+        # and this is called per cell in the compaction floor
+        v = int(cell, 16)
+        pos = (v & -v).bit_length() - 1
+        return 0 if pos == 59 else (56 - pos) // 2 + 1
 
     def children_at_res(self, cell: str, target_res: int):
         if target_res <= self.get_resolution(cell):

@@ -72,7 +72,9 @@ class H3Backend:
         return {format(c, "x") for c in H.compact_cells(v)}
 
     def get_resolution(self, cell: str) -> int:
-        return int(H.get_resolution(H.from_token([cell]))[0])
+        # pure-int (res nibble) — the numpy scalar path costs ~20 us
+        # and this is called per cell in the compaction floor
+        return (int(cell, 16) >> 52) & 15
 
     def children_at_res(self, cell: str, target_res: int):
         v = int(H.from_token([cell])[0])

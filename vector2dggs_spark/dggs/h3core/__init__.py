@@ -681,8 +681,15 @@ def cell_to_children(cell: int, child_res: int) -> list[int]:
 
 
 def compact_cells(cells) -> set[int]:
-    """Complete-sibling merge to a fixpoint (H3 compactCells semantics)."""
+    """Complete-sibling merge to a fixpoint (H3 compactCells semantics).
+
+    Pure-int bit math per cell: the r05 form routed every cell through
+    1-element numpy cell_to_parent()/is_pentagon() calls (~20-50 us
+    each, the q50 pipeline's dominant compaction cost); the parent is
+    three masks and the pentagon test is a table lookup + one digit-
+    field check.  Identical merge results."""
     cur = {int(c) for c in np.asarray(list(cells), dtype=np.uint64)}
+    res_mask = 15 << 52
     changed = True
     while changed:
         changed = False
@@ -691,10 +698,17 @@ def compact_cells(cells) -> set[int]:
             res = (c >> 52) & 15
             if res == 0:
                 continue
-            p = int(cell_to_parent([c], res - 1)[0])
+            fill = (1 << (3 * (15 - (res - 1)))) - 1
+            p = (c & ~res_mask) | ((res - 1) << 52) | fill
             by_parent.setdefault(p, set()).add(c)
         for p, kids in by_parent.items():
-            need = 6 if bool(is_pentagon([p])[0]) else 7
+            # pentagon parent: pentagon base cell AND digits 1..res_p
+            # all zero (the digit field above the 7-fill)
+            res_p = (p >> 52) & 15
+            pent = bool(T.IS_PENTAGON[(p >> 45) & 127]) and (
+                (p >> (3 * (15 - res_p))) & ((1 << (3 * res_p)) - 1)
+            ) == 0
+            need = 6 if pent else 7
             if len(kids) == need:
                 cur -= kids
                 cur.add(p)

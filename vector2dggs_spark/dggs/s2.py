@@ -202,17 +202,26 @@ def children(cell: int, level: int) -> list[int]:
 
 
 def compact(cells: set[int]) -> set[int]:
-    """Complete 4-sibling merge to fixpoint (NormalizeS2CellUnion)."""
+    """Complete 4-sibling merge to fixpoint (NormalizeS2CellUnion).
+
+    Pure-int bit math per cell: the r05 form called get_level()/parent()
+    on 1-element numpy arrays per cell per iteration (~75 us/cell — 6
+    np.where rounds each), which made compaction the dominant cost of
+    the q59 pipeline (25 s of 33 s profiled); c & -c IS the level
+    marker, and the parent is two masks away.  Identical merge results.
+    """
     cur = set(int(c) for c in cells)
     changed = True
     while changed:
         changed = False
         by_parent: dict[int, set[int]] = {}
         for c in cur:
-            lv = int(get_level(np.array([c], dtype=np.uint64))[0])
-            if lv == 0:
-                continue
-            p = int(parent(np.array([c], dtype=np.uint64), lv - 1)[0])
+            lsb = c & -c  # position-lsb encodes the level
+            if lsb >= 1 << (2 * _MAX):
+                continue  # level 0 has no parent
+            lsbp = lsb << 2
+            # == parent(c, level-1): clear bits below the parent marker
+            p = (c & ~((lsbp << 1) - 1)) | lsbp
             by_parent.setdefault(p, set()).add(c)
         for p, kids in by_parent.items():
             if len(kids) == 4:

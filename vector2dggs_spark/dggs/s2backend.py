@@ -52,7 +52,11 @@ class S2Backend:
         return set(S.to_token(np.array(sorted(S.compact(set(v.tolist()))), dtype=np.uint64)))
 
     def get_resolution(self, cell: str) -> int:
-        return int(S.get_level(S.from_token([cell]))[0])
+        # pure-int lsb math (token -> level) — the numpy scalar
+        # get_level() path costs ~75 us/call and this is called per
+        # cell in the compaction floor (q59 profile)
+        v = int(cell.ljust(16, "0"), 16)
+        return S.MAX_RES - ((v & -v).bit_length() - 1) // 2
 
     def children_at_res(self, cell: str, target_res: int):
         if target_res <= self.get_resolution(cell):

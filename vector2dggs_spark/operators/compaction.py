@@ -40,8 +40,20 @@ def compact_cells_df(
     Fast path: a feature with fewer cells than one complete sibling set
     (``backend.min_siblings``) can never compact — those rows bypass the
     Python stage entirely via a JVM-side window count, so at web scale
-    (points dominate: 1 cell/feature) the grouped-map UDF only ever sees
-    the small fraction of features with dense cell sets."""
+    (points dominate: 1 cell/feature) the Python stage only ever sees
+    the small fraction of features with dense cell sets.
+
+    The Python stage is ``mapInPandas`` over the window's existing
+    doc-hash partitioning (plus a local sort for contiguity), NOT
+    ``groupBy().applyInPandas``: grouped-map invokes the UDF once per
+    GROUP with one Arrow batch each, measured ~9 s for an IDENTITY
+    function over 10k ~12-row groups at local[32] — per-group overhead
+    dominated the q41/q59 compaction pipelines.  Here the kernel runs
+    once per ~10k-row Arrow batch instead; features are kept intact
+    across batch boundaries by sorting each partition on ``id_col`` and
+    carrying the boundary feature's rows into the next batch (memory is
+    O(batch + largest feature), same bound as grouped-map).  No new
+    shuffle: the window already hash-partitioned rows by ``id_col``."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -53,10 +65,27 @@ def compact_cells_df(
     small = counted.where(F.col("__n") < min_sib).drop("__n")
     big = counted.where(F.col("__n") >= min_sib).drop("__n")
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        return compact_group(pdf, backend, res, parent_res, cell_col, id_col, col_order)
+    def run(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            tail = ids == ids[-1]  # the (possibly batch-straddling) last doc
+            carry = pdf[tail]
+            body = pdf[~tail]
+            if len(body):
+                yield compact_group(
+                    body, backend, res, parent_res, cell_col, id_col, col_order
+                )
+        if carry is not None and len(carry):
+            yield compact_group(
+                carry, backend, res, parent_res, cell_col, id_col, col_order
+            )
 
-    compacted = big.groupBy(id_col).applyInPandas(run, schema=schema)
+    compacted = big.sortWithinPartitions(id_col).mapInPandas(run, schema=schema)
     return compacted.unionByName(small)
 
 
@@ -71,10 +100,34 @@ def compact_group(
 ) -> pd.DataFrame:
     """Pandas kernel — reference vectorindexer.py:124-196 re-expressed.
 
-    Handles one or many features per call (grouped by id upstream)."""
-    out_frames = []
-    for _, grp in pdf.groupby(id_col, sort=False):
-        original = set(grp[cell_col])
+    Handles one or many features per call (grouped by id upstream).
+
+    One pass over numpy row positions instead of per-feature DataFrame
+    slicing: the r05 form built grp/isin/concat frames PER FEATURE
+    (~1 ms of pandas machinery each — 10.8 s of the q41 kernel at 10k
+    features, vs 0.25 s of actual compact() work).  Row order, values
+    and dtypes are identical: per feature, relabeled rows first then
+    kept rows, features in order of first appearance, rows in input
+    order within each — exactly the old concat([relabel, keep]) per
+    ``groupby(sort=False)`` group."""
+    import numpy as np
+
+    if not len(pdf):
+        return pdf.iloc[0:0][col_order]
+    cells_arr = pdf[cell_col].to_numpy()
+    codes, _ = pd.factorize(pdf[id_col], sort=False)  # appearance order
+    order = np.argsort(codes, kind="stable")
+    counts = np.bincount(codes)
+    bounds = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=bounds[1:])
+
+    out_pos: list[int] = []
+    relabel_at: list[int] = []  # positions into out_pos
+    relabel_val: list[str] = []
+    for g in range(len(counts)):
+        idx = order[bounds[g]:bounds[g + 1]]
+        vals = cells_arr[idx]
+        original = set(vals)
         compacted = set(backend.compact(original))
         # resolution floor (vectorindexer.py:105-122)
         floored: set[str] = set()
@@ -85,15 +138,20 @@ def compact_group(
                 floored.add(cell)
         uncompressable = original & floored
         compressable = floored - original
-        keep = grp[grp[cell_col].isin(uncompressable)]
         if compressable:
             # coarse cell -> its designated child at res; relabel that row
             mapping = {backend.designated_child(c, res): c for c in compressable}
-            relabel = grp[grp[cell_col].isin(mapping)].copy()
-            relabel[cell_col] = relabel[cell_col].map(mapping)
-            out_frames.append(pd.concat([relabel, keep]))
-        else:
-            out_frames.append(keep)
-    if not out_frames:
-        return pdf.iloc[0:0][col_order]
-    return pd.concat(out_frames, ignore_index=True)[col_order]
+            for p, v in zip(idx, vals):
+                if v in mapping:
+                    relabel_at.append(len(out_pos))
+                    relabel_val.append(mapping[v])
+                    out_pos.append(p)
+        for p, v in zip(idx, vals):
+            if v in uncompressable:
+                out_pos.append(p)
+    out = pdf.iloc[out_pos].reset_index(drop=True)
+    if relabel_at:
+        new_cells = out[cell_col].to_numpy().copy()
+        new_cells[relabel_at] = relabel_val
+        out[cell_col] = new_cells
+    return out[col_order]
