@@ -137,3 +137,33 @@ def test_spark_compaction_operator(spark):
     # overlapping features may repeat cells in the output
     both = set(f1) & coarse
     assert both
+
+
+def test_spark_compaction_batch_boundary_carry(spark):
+    """The mapInPandas compaction stage must keep a feature intact when
+    its rows straddle Arrow batch boundaries: force tiny batches so
+    every partition yields many batches, and check against the
+    single-batch kernel ground truth."""
+    backend = get_backend("geohash")
+    res, parent_res = 3, 2
+    dggs_col = "geohash_03"
+    rows = []
+    # 40 features, each a complete sibling set (32 cells) of a distinct
+    # parent -> every feature compacts to exactly one coarse cell; with
+    # 50-row batches every feature straddles at least one boundary
+    parents = [a + b for a in "0123456789" for b in "0123"]
+    for i, p in enumerate(parents):
+        for c in sorted(backend.children_at_res(p, res)):
+            rows.append((f"f{i:02d}", c))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", dggs_col]))
+    from vector2dggs_spark.operators.compaction import compact_cells_df
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        out = compact_cells_df(df, backend, res, parent_res, dggs_col).toPandas()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = sorted(map(tuple, out[["doc_id", dggs_col]].itertuples(index=False)))
+    exp = sorted((f"f{i:02d}", p) for i, p in enumerate(parents))
+    assert got == exp
