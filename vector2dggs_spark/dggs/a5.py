@@ -267,8 +267,14 @@ def compact(cells) -> set[int]:
 
 
 def to_token(cells) -> np.ndarray:
+    # bulk C hex via binascii over the big-endian byte view (fixed
+    # 16-digit tokens, no strip) — same speedup as the s2 encoder
+    import binascii
+
     cells = np.atleast_1d(np.asarray(cells, dtype=np.uint64))
-    return np.array([format(int(c), "016x") for c in cells], dtype=object)
+    hx = binascii.hexlify(cells.astype(">u8").tobytes())
+    arr = np.frombuffer(hx, dtype="S16")
+    return np.array([t.decode() for t in arr], dtype=object)
 
 
 def from_token(tokens) -> np.ndarray:
